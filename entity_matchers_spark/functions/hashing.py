@@ -1,0 +1,128 @@
+"""Cross-engine-stable hashing and MinHash signatures.
+
+The reference assigns dense int IDs via a global frequency sort
+(/root/reference/OpenEA_Mod/src/openea/modules/load/read.py:59-94) and does
+LSH with per-process random hyperplanes
+(/root/reference/OpenEA_Mod/src/openea/modules/blocking/lshash.py:27-120).
+Neither survives a distributed setting: a global sort is a shuffle we don't
+need, and unseeded randomness breaks determinism across parallelism levels.
+
+Here every hash is a *pure column expression*:
+
+- ``stable_hash64(col)`` / ``stable_hash32(col)`` — md5-derived integers that
+  any SQL engine reproduces exactly (``('0x' || substr(md5(x),1,k))::int``),
+  so results are verifiable against an independent oracle. md5 is JVM-side
+  and stays inside whole-stage codegen.
+- ``xxhash64`` remains the faster production path for pure-Spark runs; the
+  choice is a constructor flag, not a code change.
+- MinHash permutations use the classic affine trick ``(a*h + b) mod p`` over
+  the 32-bit base hash, with (a, b) drawn from a seeded LCG embedded as plan
+  constants — no per-permutation md5, no shuffle, no Python. Signature math
+  is ``transform``/``array_min`` over the shingle array, fully map-side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# 2^61 - 1 (Mersenne prime). a*h + b stays < 2^62 for a,b < 2^30, h < 2^32:
+# exact in 64-bit signed arithmetic in both Spark and any SQL oracle.
+MINHASH_PRIME = 2305843009213693951
+
+_LCG_MULT = 6364136223846793005
+_LCG_INC = 1442695040888963407
+_LCG_MASK = (1 << 64) - 1
+
+
+def _lcg_stream(seed: int):
+    """Deterministic 64-bit LCG; no numpy/random so constants are portable."""
+    state = seed & _LCG_MASK
+    while True:
+        state = (state * _LCG_MULT + _LCG_INC) & _LCG_MASK
+        yield state
+
+
+def minhash_permutation_params(num_perm: int, seed: int = 11037) -> list[tuple[int, int]]:
+    """(a_i, b_i) pairs for ``num_perm`` affine permutations.
+
+    a in [1, 2^30), b in [0, 2^30). Seed default 11037 mirrors the reference's
+    determinism pin (/root/reference/bert-int/basic_bert_unit/Param.py:10).
+    """
+    gen = _lcg_stream(seed)
+    params = []
+    for _ in range(num_perm):
+        a = (next(gen) % ((1 << 30) - 1)) + 1
+        b = next(gen) % (1 << 30)
+        params.append((a, b))
+    return params
+
+
+def stable_hash64(col: Column | str, salt: str = "") -> Column:
+    """60-bit non-negative integer hash, identical across engines.
+
+    Spark: ``conv(substring(md5(concat(salt, col)), 1, 15), 16, 10)``.
+    Oracle: ``('0x' || substr(md5(salt || col), 1, 15))::UBIGINT``.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    if salt:
+        c = F.concat(F.lit(salt), c)
+    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
+
+
+def stable_hash32(col: Column | str, salt: str = "") -> Column:
+    """32-bit non-negative integer hash (base hash for MinHash permutations)."""
+    c = F.col(col) if isinstance(col, str) else col
+    if salt:
+        c = F.concat(F.lit(salt), c)
+    return F.conv(F.substring(F.md5(c), 1, 8), 16, 10).cast("long")
+
+
+def minhash_signature(
+    shingles: Column,
+    num_perm: int,
+    seed: int = 11037,
+    use_xxhash: bool = False,
+) -> Column:
+    """``array<long>`` MinHash signature of a shingle array — pure map-side.
+
+    For each permutation i: ``min over grams of (a_i * base(g) + b_i) % p``.
+    Empty shingle arrays yield a sentinel signature of all ``p`` (never
+    collides with a real min because hashes are < p).
+
+    ``use_xxhash=True`` swaps the md5 base hash for xxhash64 (faster, Spark
+    only — not oracle-verifiable).
+    """
+    if use_xxhash:
+        base = F.transform(shingles, lambda g: F.pmod(F.xxhash64(g), F.lit(1 << 32)))
+    else:
+        base = F.transform(
+            shingles, lambda g: F.conv(F.substring(F.md5(g), 1, 8), 16, 10).cast("long")
+        )
+    params = minhash_permutation_params(num_perm, seed)
+    mins = [
+        F.coalesce(
+            F.array_min(F.transform(base, lambda h: (F.lit(a) * h + F.lit(b)) % MINHASH_PRIME)),
+            F.lit(MINHASH_PRIME),
+        )
+        for a, b in params
+    ]
+    return F.array(*mins)
+
+
+def band_keys(signature: Column, num_bands: int, rows_per_band: int) -> Column:
+    """LSH band keys: array of ``num_bands`` strings ``"<band>:<h1>-<h2>-..."``.
+
+    Two docs share a band key iff their signatures agree on every row of that
+    band — the standard banding construction (probability s^r per band for
+    Jaccard s). Emitted as an array so the caller can ``explode`` into a
+    (doc, block_id) table.
+    """
+    keys = []
+    for band in range(num_bands):
+        parts = [F.lit(f"{band}:")] + [
+            F.concat(F.element_at(signature, band * rows_per_band + r + 1).cast("string"), F.lit("-"))
+            for r in range(rows_per_band)
+        ]
+        keys.append(F.concat(*parts))
+    return F.array(*keys)

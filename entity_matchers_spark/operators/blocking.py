@@ -1,0 +1,198 @@
+"""Blocking — the join-avoidance layer (SURVEY.md §2.3).
+
+The reference blocks with per-column q-gram rule blockers union'd + deduped
+(/root/reference/deepmatcher/notebooks/create_dataset_deepmatchers.py:243-260,
+337-415), ElasticSearch 2/3-gram top-k (README.md:295-383), and random-
+hyperplane LSH (/root/reference/OpenEA_Mod/src/openea/modules/blocking/
+lshash.py:27-120). All of those assume one machine and ≤500K entities.
+
+Here blocking is a *key-materialization problem*: produce a (id, block_id)
+table whose equi-self-join yields the candidate pairs. Two key families,
+union'd (the reference's multi-blocker-union precedent):
+
+1. Normalized URL-domain key — the analog of URI-tail naming
+   (/root/reference/OpenEA_Mod/src/openea/approaches/rdgcn.py:529-532).
+2. MinHash-LSH band keys over character shingles of the extracted text
+   (capped at 300 chars, the ES query cap: README.md:378).
+
+Scale discipline (the part the reference never faces, SURVEY.md §4):
+- **Frequency cap**: blocks larger than ``max_block_size`` are dropped — a
+  hot shingle band ("the the the") would otherwise produce a quadratic
+  pair explosion. Dropped mass is observable in the blocking-metrics table.
+- **Pair dedup at the source**: self-join emits ``id_a < id_b`` only, and
+  duplicate pairs from multiple shared blocks are collapsed with a
+  groupBy on (id_a, id_b) — never materializing the duplicates downstream.
+- **Skew**: AQE skew-join splitting is on (session default); with the
+  frequency cap, per-block pair counts are bounded at
+  max_block_size·(max_block_size−1)/2, so no single shuffle partition can
+  explode even at 10^12 docs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from entity_matchers_spark.functions.hashing import MINHASH_PRIME
+from entity_matchers_spark.functions.shingles import char_shingles
+
+
+def normalized_domain(url: Column | str) -> Column:
+    """Registrable-ish domain key: host, lowercased, ``www.`` stripped.
+
+    ``parse_url`` is JVM-native; the regexp fallback keeps the expression
+    oracle-translatable.
+    """
+    c = F.col(url) if isinstance(url, str) else url
+    host = F.regexp_extract(c, r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/:?#]+)", 1)
+    return F.regexp_replace(F.lower(host), r"^www\.", "")
+
+
+def domain_block_keys(df: DataFrame, id_col: str = "id", url_col: str = "url") -> DataFrame:
+    """(id, block_id) from the normalized URL domain."""
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.concat(F.lit("dom:"), normalized_domain(url_col)).alias("block_id"),
+    ).where(F.col("block_id") != "dom:")
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str = "id",
+    text_col: str = "text",
+    num_perm: int = 32,
+    shingle_n: int = 3,
+    text_cap: int = 300,
+    seed: int = 11037,
+    use_xxhash: bool = False,
+) -> DataFrame:
+    """(id, s0..s{num_perm-1}) MinHash signature columns.
+
+    Shape chosen for scale: explode distinct shingles → ONE hash per gram →
+    ``num_perm`` declarative ``min()`` aggregates (whole-stage codegen,
+    map-side partial aggregation, one shuffle on id). The naive alternative
+    — nested higher-order-function expressions — re-inlines the shingle
+    array per permutation and falls out of codegen (measured ~500× slower).
+
+    Docs whose text yields no shingles get the sentinel signature
+    ``MINHASH_PRIME`` in every column.
+    """
+    from entity_matchers_spark.functions.hashing import minhash_permutation_params
+
+    grams = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(char_shingles(F.substring(F.col(text_col), 1, text_cap), n=shingle_n)).alias("g"),
+    )
+    if use_xxhash:
+        base = grams.select("id", F.pmod(F.xxhash64("g"), F.lit(1 << 32)).alias("h"))
+    else:
+        base = grams.select(
+            "id", F.conv(F.substring(F.md5("g"), 1, 8), 16, 10).cast("long").alias("h")
+        )
+    params = minhash_permutation_params(num_perm, seed)
+    aggs = [
+        F.min((F.lit(a) * F.col("h") + F.lit(b)) % MINHASH_PRIME).alias(f"s{i}")
+        for i, (a, b) in enumerate(params)
+    ]
+    sig = base.groupBy("id").agg(*aggs)
+    # docs with no shingles (text shorter than n) → sentinel signature
+    sentinel = [F.lit(MINHASH_PRIME).alias(f"s{i}") for i in range(num_perm)]
+    empty = df.select(F.col(id_col).alias("id")).join(sig.select("id"), "id", "left_anti").select(
+        "id", *sentinel
+    )
+    return sig.unionByName(empty)
+
+
+def minhash_block_keys(
+    df: DataFrame,
+    id_col: str = "id",
+    text_col: str = "text",
+    num_bands: int = 16,
+    rows_per_band: int = 2,
+    shingle_n: int = 3,
+    text_cap: int = 300,
+    seed: int = 11037,
+    use_xxhash: bool = False,
+) -> DataFrame:
+    """(id, block_id) via MinHash-LSH banding over char shingles.
+
+    Default 16 bands × 2 rows targets high recall at Jaccard ≥ ~0.3
+    (P(hit) = 1-(1-s^2)^16: s=0.3 → 77%, s=0.5 → 99%, s=0.7 → 100%).
+    Band keys are plain concats over the materialized signature columns,
+    exploded into (id, block_id) rows.
+    """
+    sig = minhash_signatures(
+        df, id_col, text_col, num_bands * rows_per_band, shingle_n, text_cap, seed, use_xxhash
+    )
+    keys = []
+    for band in range(num_bands):
+        parts = [F.lit(f"mh:{band}:")] + [
+            F.concat(F.col(f"s{band * rows_per_band + r}").cast("string"), F.lit("-"))
+            for r in range(rows_per_band)
+        ]
+        keys.append(F.concat(*parts))
+    return sig.select("id", F.explode(F.array(*keys)).alias("block_id"))
+
+
+def cap_block_sizes(blocks: DataFrame, max_block_size: int) -> DataFrame:
+    """Drop blocks with more than ``max_block_size`` members (hot-key guard).
+
+    A count-aggregate + broadcast-able join on the *oversized* keys only
+    (the set of hot keys is tiny by definition, so this is an anti-join
+    against a small side, not a full shuffle of the block table).
+    """
+    hot = (
+        blocks.groupBy("block_id")
+        .agg(F.count("*").alias("n"))
+        .where(F.col("n") > max_block_size)
+        .select("block_id")
+    )
+    return blocks.join(F.broadcast(hot), "block_id", "left_anti")
+
+
+def candidate_pairs(
+    blocks: DataFrame,
+    max_block_size: int = 64,
+) -> DataFrame:
+    """Self-join (id, block_id) → distinct (id_a, id_b) with id_a < id_b.
+
+    The join key is block_id; per-pair dedup happens in the same shuffle
+    via groupBy. With the frequency cap, the worst block contributes
+    O(max_block_size²) pairs — bounded regardless of corpus size.
+    """
+    capped = cap_block_sizes(blocks, max_block_size)
+    left = capped.alias("l")
+    right = capped.alias("r")
+    return (
+        left.join(right, "block_id")
+        .where(F.col("l.id") < F.col("r.id"))
+        .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
+        .distinct()
+    )
+
+
+def blocking_metrics(
+    blocks: DataFrame,
+    labeled_pairs: DataFrame | None = None,
+    max_block_size: int = 64,
+) -> DataFrame:
+    """Blocking audit table — the analog of the reference's ES ``stats.csv``
+    (README.md:380-383): block count, size distribution, capped-block mass,
+    and (when labels are given) pair recall of the blocking stage."""
+    sizes = blocks.groupBy("block_id").agg(F.count("*").alias("n"))
+    agg = sizes.agg(
+        F.count("*").alias("num_blocks"),
+        F.sum("n").alias("total_keys"),
+        F.max("n").alias("max_block"),
+        F.sum(F.when(F.col("n") > max_block_size, F.col("n")).otherwise(0)).alias("capped_keys"),
+        F.sum(F.col("n") * (F.col("n") - 1) / 2).alias("pair_budget"),
+    )
+    if labeled_pairs is not None:
+        cands = candidate_pairs(blocks, max_block_size)
+        pos = labeled_pairs.where(F.col("label") == 1)
+        hit = pos.join(cands, ["id_a", "id_b"], "left_semi").count()
+        tot = pos.count()
+        agg = agg.withColumn("label_pairs", F.lit(tot)).withColumn(
+            "blocked_label_pairs", F.lit(hit)
+        ).withColumn("pair_recall", F.lit(hit / tot if tot else None))
+    return agg

@@ -1,0 +1,91 @@
+"""Transitive clustering: iterative hash-min connected components.
+
+The reference stops at 1-1 pairs between two KGs (SURVEY.md §2.5 —
+clustering is absent there); the north rule adds transitive closure over the
+match-edge graph to emit entity cluster ids.
+
+Algorithm: hash-min label propagation. Every node starts with label = its
+own id; each iteration every node takes the min label in its closed
+neighborhood; stop when no label changes. O(diameter) iterations — match
+graphs have tiny clusters, so typically 2-5.
+
+Scale discipline:
+- each iteration is one groupBy(node).min(label) over the (bidirectional)
+  edge table joined to current labels — shuffle on node id only;
+- ``localCheckpoint()`` per iteration cuts the lineage (the Spark analog of
+  the reference's pickle-per-stage checkpointing,
+  /root/reference/bert-int/run_full_bert.py:46-64);
+- convergence check is an aggregate count, driver sees one long per iter
+  (loop-control precedent: early stopping,
+  /root/reference/OpenEA_Mod/src/openea/modules/train/../finding/evaluation.py:29-35).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iterations: int = 50,
+    checkpoint: bool = True,
+) -> DataFrame:
+    """(id, cluster_id) for every node appearing in ``edges``;
+    cluster_id = min node id in the component."""
+    und = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+        .distinct()
+    )
+    labels = und.select(F.col("u").alias("id")).distinct().withColumn("cluster_id", F.col("id"))
+    if checkpoint:
+        und = und.localCheckpoint()
+        labels = labels.localCheckpoint()
+
+    for _ in range(max_iterations):
+        # min label over closed neighborhood
+        neighbor_min = (
+            und.join(labels.withColumnRenamed("id", "v"), "v")
+            .groupBy("u")
+            .agg(F.min("cluster_id").alias("nmin"))
+            .withColumnRenamed("u", "id")
+        )
+        new_labels = (
+            labels.join(neighbor_min, "id", "left")
+            .select(
+                "id",
+                F.least(F.col("cluster_id"), F.coalesce(F.col("nmin"), F.col("cluster_id"))).alias(
+                    "new_cluster_id"
+                ),
+                "cluster_id",
+            )
+        )
+        changed = new_labels.where(F.col("new_cluster_id") != F.col("cluster_id")).count()
+        labels = new_labels.select("id", F.col("new_cluster_id").alias("cluster_id"))
+        if checkpoint:
+            labels = labels.localCheckpoint()
+        if changed == 0:
+            break
+    return labels
+
+
+def clusters_with_singletons(
+    all_ids: DataFrame,
+    edges: DataFrame,
+    id_col: str = "id",
+    src: str = "id_a",
+    dst: str = "id_b",
+) -> DataFrame:
+    """Cluster assignment for the whole corpus: matched nodes get their
+    component min-id, unmatched rows are singleton clusters of themselves
+    (the reference's non-matchable "extra" entities,
+    /root/reference/OpenEA_Mod/src/openea/modules/load/kgs.py:96-104)."""
+    cc = connected_components(edges, src, dst)
+    return (
+        all_ids.select(F.col(id_col).alias("id"))
+        .join(cc, "id", "left")
+        .select("id", F.coalesce(F.col("cluster_id"), F.col("id")).alias("cluster_id"))
+    )

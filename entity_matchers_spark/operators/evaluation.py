@@ -1,0 +1,91 @@
+"""Evaluation operators (SURVEY.md §2.6).
+
+Set-based P/R/F1 with the reference's exact protocol: aligned pairs exclude
+train pairs, truth = test+valid links
+(/root/reference/src/utils.py:134-157, 183-204;
+/root/reference/OpenEA_Mod/src/openea/modules/finding/evaluation.py:41-51).
+Hits@k / MR / MRR over ranked candidates (alignment.py:151-177).
+All as joins + counts — no driver-side set math.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def precision_recall_f1(
+    aligns: DataFrame,
+    truth: DataFrame,
+    exclude: DataFrame | None = None,
+    keys: tuple[str, str] = ("id_a", "id_b"),
+) -> DataFrame:
+    """One-row DataFrame (tp, n_align, n_truth, precision, recall, f1).
+
+    ``exclude`` (train pairs) is anti-joined out of aligns first, mirroring
+    src/utils.py:183-204.
+    """
+    ka, kb = keys
+    a = aligns.select(ka, kb).distinct()
+    t = truth.select(ka, kb).distinct()
+    if exclude is not None:
+        ex = exclude.select(ka, kb).distinct()
+        a = a.join(ex, [ka, kb], "left_anti")
+        t = t.join(ex, [ka, kb], "left_anti")
+    stats = a.withColumn("_in_a", F.lit(1)).join(
+        t.withColumn("_in_t", F.lit(1)), [ka, kb], "full"
+    ).agg(
+        F.sum(F.when(F.col("_in_a").isNotNull() & F.col("_in_t").isNotNull(), 1).otherwise(0)).alias("tp"),
+        F.sum(F.when(F.col("_in_a").isNotNull(), 1).otherwise(0)).alias("n_align"),
+        F.sum(F.when(F.col("_in_t").isNotNull(), 1).otherwise(0)).alias("n_truth"),
+    )
+    return stats.select(
+        "tp",
+        "n_align",
+        "n_truth",
+        (F.col("tp") / F.col("n_align")).alias("precision"),
+        (F.col("tp") / F.col("n_truth")).alias("recall"),
+        (
+            2 * (F.col("tp") / F.col("n_align")) * (F.col("tp") / F.col("n_truth"))
+            / ((F.col("tp") / F.col("n_align")) + (F.col("tp") / F.col("n_truth")))
+        ).alias("f1"),
+    )
+
+
+def pairwise_f1_from_clusters(
+    clusters: DataFrame,
+    truth_pairs: DataFrame,
+    id_col: str = "id",
+    cluster_col: str = "cluster_id",
+    keys: tuple[str, str] = ("id_a", "id_b"),
+) -> DataFrame:
+    """Pairwise P/R/F1 of a clustering vs gold pairs: predicted pairs =
+    all (a<b) pairs sharing a cluster. The cluster self-join is bounded by
+    cluster sizes (match clusters are tiny)."""
+    ka, kb = keys
+    left = clusters.select(F.col(id_col).alias(ka), F.col(cluster_col).alias("_c"))
+    right = clusters.select(F.col(id_col).alias(kb), F.col(cluster_col).alias("_c"))
+    pred = left.join(right, "_c").where(F.col(ka) < F.col(kb)).drop("_c")
+    return precision_recall_f1(pred, truth_pairs, keys=keys)
+
+
+def hits_at_k(
+    scored: DataFrame,
+    truth: DataFrame,
+    ks: tuple[int, ...] = (1, 5, 10),
+    score_col: str = "score",
+) -> DataFrame:
+    """Ranking diagnostics per left id: hits@k, MR, MRR
+    (alignment.py:151-177 semantics on the blocked candidate set).
+    Gold pairs missing from candidates count as unranked (excluded from MR
+    but hit@k = 0 — matches the reference's restriction to scored rows)."""
+    w = Window.partitionBy("id_a").orderBy(F.col(score_col).desc(), F.col("id_b").asc())
+    ranked = scored.withColumn("rank", F.row_number().over(w))
+    gold_ranked = truth.join(ranked, ["id_a", "id_b"], "left")
+    n_gold = truth.count()
+    aggs = [F.count("*").alias("n_gold"), F.avg("rank").alias("mr"), F.avg(1 / F.col("rank")).alias("mrr")]
+    for k in ks:
+        aggs.append(
+            (F.sum(F.when(F.col("rank") <= k, 1).otherwise(0)) / n_gold).alias(f"hits_at_{k}")
+        )
+    return gold_ranked.agg(*aggs)

