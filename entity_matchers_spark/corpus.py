@@ -179,12 +179,13 @@ def labeled_pairs(spark: SparkSession, num_entities: int = 1000) -> DataFrame:
         16,
         10,
     ).cast("long")
+    decile = F.floor(ph / 5) % 10
     return (
         pairs.withColumn("fold", (ph % 5).cast("int"))
         .withColumn(
             "split",
-            F.when((ph // 5) % 10 < 7, F.lit("test"))
-            .when((ph // 5) % 10 < 9, F.lit("train"))
+            F.when(decile < 7, F.lit("test"))
+            .when(decile < 9, F.lit("train"))
             .otherwise(F.lit("valid")),
         )
     )

@@ -81,13 +81,16 @@ def minhash_signatures(
 
     grams = df.select(
         F.col(id_col).alias("id"),
-        F.explode(char_shingles(F.substring(F.col(text_col), 1, text_cap), n=shingle_n)).alias("g"),
+        F.explode(
+            char_shingles(F.lower(F.substring(F.col(text_col), 1, text_cap)), n=shingle_n)
+        ).alias("g"),
     )
     if use_xxhash:
-        base = grams.select("id", F.pmod(F.xxhash64("g"), F.lit(1 << 32)).alias("h"))
+        base = grams.select("id", F.pmod(F.xxhash64("g"), F.lit(MINHASH_PRIME)).alias("h"))
     else:
         base = grams.select(
-            "id", F.conv(F.substring(F.md5("g"), 1, 8), 16, 10).cast("long").alias("h")
+            "id",
+            (F.conv(F.substring(F.md5("g"), 1, 8), 16, 10).cast("long") % MINHASH_PRIME).alias("h"),
         )
     params = minhash_permutation_params(num_perm, seed)
     aggs = [

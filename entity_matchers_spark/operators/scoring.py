@@ -70,14 +70,14 @@ def score_pairs(
     a = docs.select(
         F.col(id_col).alias("id_a"),
         F.col(text_col).alias("text_a"),
-        F.substring(F.col(text_col), 1, name_cap).alias("name_a"),
-        char_shingles(F.substring(F.col(text_col), 1, 300)).alias("sh_a"),
+        F.lower(F.substring(F.col(text_col), 1, name_cap)).alias("name_a"),
+        char_shingles(F.lower(F.substring(F.col(text_col), 1, 300))).alias("sh_a"),
     )
     b = docs.select(
         F.col(id_col).alias("id_b"),
         F.col(text_col).alias("text_b"),
-        F.substring(F.col(text_col), 1, name_cap).alias("name_b"),
-        char_shingles(F.substring(F.col(text_col), 1, 300)).alias("sh_b"),
+        F.lower(F.substring(F.col(text_col), 1, name_cap)).alias("name_b"),
+        char_shingles(F.lower(F.substring(F.col(text_col), 1, 300))).alias("sh_b"),
     )
     joined = pairs.join(a, "id_a").join(b, "id_b")
     scored = joined.select(

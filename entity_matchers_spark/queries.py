@@ -52,7 +52,7 @@ def _sig_sql_entries(num_perm: int, seed: int = ER_SEED) -> list[str]:
     entries = []
     for a, b in minhash_permutation_params(num_perm, seed):
         entries.append(
-            f"coalesce(list_min([({a}*(('0x'||substr(md5(g),1,8))::UBIGINT::BIGINT)+{b})%{p} "
+            f"coalesce(list_min([({a}*((('0x'||substr(md5(g),1,8))::UBIGINT::BIGINT)%{p})+{b})%{p} "
             f"for g in grams]), {p})"
         )
     return entries
@@ -72,7 +72,7 @@ def _er_blocks_sql() -> str:
   grams_t AS (
     SELECT doc_id AS id,
            list_distinct([substr(t, i, 3) for i in range(1, len(t)-1)]) AS grams
-    FROM (SELECT doc_id, substr(text, 1, 300) AS t FROM documents)
+    FROM (SELECT doc_id, lower(substr(text, 1, 300)) AS t FROM documents)
   ),
   sig AS (
     SELECT id, [
@@ -117,8 +117,8 @@ def _er_scores_sql() -> str:
     return f"""
   scored AS (
     SELECT id_a, id_b,
-      jaro_winkler_similarity(substr(da.text, 1, {ER_NAME_CAP}),
-                              substr(db.text, 1, {ER_NAME_CAP})) AS jw,
+      jaro_winkler_similarity(lower(substr(da.text, 1, {ER_NAME_CAP})),
+                              lower(substr(db.text, 1, {ER_NAME_CAP}))) AS jw,
       CASE WHEN greatest(len({canon_a}), len({canon_b})) = 0 THEN 1.0
             ELSE 1.0 - levenshtein({canon_a}, {canon_b})
                  / greatest(len({canon_a}), len({canon_b}))::DOUBLE END AS tslr,
@@ -168,9 +168,9 @@ def _er_spark_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sides = docs.select(
         F.col("doc_id").alias("id"),
-        F.substring("text", 1, ER_NAME_CAP).alias("name"),
+        F.lower(F.substring("text", 1, ER_NAME_CAP)).alias("name"),
         canon.alias("canon"),
-        char_shingles(F.substring("text", 1, 300)).alias("sh"),
+        char_shingles(F.lower(F.substring("text", 1, 300))).alias("sh"),
     )
     a = sides.select(
         F.col("id").alias("id_a"), F.col("name").alias("name_a"),

@@ -1,0 +1,121 @@
+"""Unit tests for the function layer vs independent oracles (FIXTURES.md §4)."""
+
+from __future__ import annotations
+
+import duckdb
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from entity_matchers_spark.functions.hashing import (
+    MINHASH_PRIME,
+    minhash_permutation_params,
+)
+from entity_matchers_spark.functions.shingles import char_shingles, token_shingles, tokens
+from entity_matchers_spark.functions.similarity import (
+    _jaro_winkler_one,
+    char_jaccard,
+    cosine_similarity,
+    jaccard_arrays,
+    levenshtein_ratio,
+    token_set_levenshtein_ratio,
+)
+
+
+def test_char_shingles(spark):
+    df = spark.createDataFrame([("abcdef",), ("ab",), ("",), ("aaaa",)], "s string")
+    got = [r[0] for r in df.select(char_shingles("s")).collect()]
+    assert got[0] == ["abc", "bcd", "cde", "def"]
+    assert got[1] == []
+    assert got[2] == []
+    assert got[3] == ["aaa"]  # distinct
+
+
+def test_token_shingles_and_tokens(spark):
+    df = spark.createDataFrame([("Hello  world foo",)], "s string")
+    row = df.select(tokens("s").alias("t"), token_shingles("s", 2).alias("g")).first()
+    assert row["t"] == ["hello", "world", "foo"]
+    assert row["g"] == ["hello world", "world foo"]
+
+
+def test_jaro_winkler_matches_duckdb_fuzz():
+    import random
+
+    random.seed(11037)
+    vocab = "abcdefg "
+    cases = [("martha", "marhta"), ("ab", "ba"), ("", ""), ("a", ""), ("x", "x")]
+    for _ in range(1500):
+        a = "".join(random.choice(vocab) for _ in range(random.randint(0, 14)))
+        b = "".join(random.choice(vocab) for _ in range(random.randint(0, 14)))
+        cases.append((a, b))
+    con = duckdb.connect()
+    con.register("t", pd.DataFrame(cases, columns=["a", "b"]))
+    ref = con.sql("select jaro_winkler_similarity(a,b) v from t").df()["v"].to_numpy()
+    for (a, b), expected in zip(cases, ref):
+        assert _jaro_winkler_one(a, b) == expected, (a, b)
+
+
+def test_levenshtein_ratio(spark):
+    df = spark.createDataFrame([("kitten", "sitting"), ("", ""), ("abc", "abc")], "a string, b string")
+    got = [r[0] for r in df.select(levenshtein_ratio("a", "b")).collect()]
+    assert got[0] == 1 - 3 / 7
+    assert got[1] == 1.0
+    assert got[2] == 1.0
+
+
+def test_token_set_levenshtein_order_insensitive(spark):
+    df = spark.createDataFrame(
+        [("world hello hello", "hello world"), ("a b c", "c b x")], "a string, b string"
+    )
+    got = [r[0] for r in df.select(token_set_levenshtein_ratio("a", "b")).collect()]
+    assert got[0] == 1.0  # same token set after dedup+sort
+    assert got[1] == pytest.approx(1 - 3 / 5)  # lev('a b c','b c x') = 3 substitutions
+
+
+def test_jaccard_and_cosine(spark):
+    df = spark.createDataFrame(
+        [(["a", "b", "c"], ["b", "c", "d"], [1.0, 2.0], [2.0, 4.0])],
+        "x array<string>, y array<string>, u array<double>, v array<double>",
+    )
+    row = df.select(
+        jaccard_arrays(F.col("x"), F.col("y")).alias("j"),
+        cosine_similarity(F.col("u"), F.col("v")).alias("c"),
+    ).first()
+    assert row["j"] == 0.5
+    assert row["c"] == pytest.approx(1.0)
+    empty = spark.createDataFrame([([], [])], "x array<string>, y array<string>")
+    assert empty.select(jaccard_arrays(F.col("x"), F.col("y"))).first()[0] == 0.0
+
+
+def test_char_jaccard_matches_duckdb(spark):
+    cases = [("duck", "luck"), ("abc", "xyz"), ("aabb", "ab")]
+    df = spark.createDataFrame(cases, "a string, b string")
+    got = [r[0] for r in df.select(char_jaccard("a", "b")).collect()]
+    con = duckdb.connect()
+    con.register("t", pd.DataFrame(cases, columns=["a", "b"]))
+    ref = [r[0] for r in con.sql("select jaccard(a,b) from t").fetchall()]
+    assert got == ref
+
+
+def test_minhash_signature_pure_python_oracle(spark):
+    """Signature equals a from-first-principles Python reference."""
+    import hashlib
+
+    from entity_matchers_spark.operators.blocking import minhash_signatures
+
+    text = "hello world foo"
+    df = spark.createDataFrame([(1, text)], "id long, text string")
+    row = minhash_signatures(df, "id", "text", num_perm=6).first()
+
+    grams = sorted({text[i : i + 3] for i in range(len(text) - 2)})
+    bases = [int(hashlib.md5(g.encode()).hexdigest()[:8], 16) % MINHASH_PRIME for g in grams]
+    params = minhash_permutation_params(6)
+    for i, (a, b) in enumerate(params):
+        expected = min((a * h + b) % MINHASH_PRIME for h in bases)
+        assert row[f"s{i}"] == expected
+
+    # empty text → sentinel
+    empty = minhash_signatures(
+        spark.createDataFrame([(2, "ab")], "id long, text string"), "id", "text", num_perm=3
+    ).first()
+    assert [empty[f"s{i}"] for i in range(3)] == [MINHASH_PRIME] * 3

@@ -1,0 +1,117 @@
+"""Mutual-best / CC / evaluation operator tests on known shapes (FIXTURES.md §4)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from entity_matchers_spark.operators.clustering import (
+    clusters_with_singletons,
+    connected_components,
+)
+from entity_matchers_spark.operators.evaluation import (
+    hits_at_k,
+    pairwise_f1_from_clusters,
+    precision_recall_f1,
+)
+from entity_matchers_spark.operators.matching import csls_rescale, mutual_best, topk_per_id
+
+
+def _scores(spark, rows):
+    return spark.createDataFrame(rows, "id_a long, id_b long, score double")
+
+
+def test_mutual_best_basic(spark):
+    # 1↔10 mutual; 2→10 loses to 1; 3↔30 mutual
+    scored = _scores(spark, [(1, 10, 0.9), (2, 10, 0.8), (2, 20, 0.5), (3, 30, 0.7)])
+    got = {(r.id_a, r.id_b) for r in mutual_best(scored).collect()}
+    # 2's best is 10 (0.8) but 10's best is 1 → 2 matches nothing
+    # ((2,20) is not 2's argmax, so it is not mutual either)
+    assert got == {(1, 10), (3, 30)}
+
+
+def test_mutual_best_tie_break_deterministic(spark):
+    # equal scores → lowest partner id wins on both sides (first-argmax
+    # precedent, alignment.py:259-268)
+    scored = _scores(spark, [(1, 10, 0.5), (1, 11, 0.5), (2, 10, 0.5)])
+    got = {(r.id_a, r.id_b) for r in mutual_best(scored).collect()}
+    assert got == {(1, 10)}
+
+
+def test_topk_per_id(spark):
+    scored = _scores(spark, [(1, 10, 0.9), (1, 11, 0.8), (1, 12, 0.7), (2, 10, 0.6)])
+    got = {(r.id_a, r.id_b) for r in topk_per_id(scored, 2).collect()}
+    assert got == {(1, 10), (1, 11), (2, 10)}
+
+
+def test_csls_rescale(spark):
+    scored = _scores(spark, [(1, 10, 0.8), (1, 11, 0.4), (2, 10, 0.6)])
+    got = {(r.id_a, r.id_b): r.csls for r in csls_rescale(scored, k=2).collect()}
+    # id_a=1 topk mean = 0.6; id_b=10 topk mean = 0.7
+    assert got[(1, 10)] == pytest.approx(2 * 0.8 - 0.6 - 0.7)
+    assert got[(2, 10)] == pytest.approx(2 * 0.6 - 0.6 - 0.7)
+    assert got[(1, 11)] == pytest.approx(2 * 0.4 - 0.6 - 0.4)
+
+
+@pytest.mark.parametrize(
+    "edges,expected",
+    [
+        # path 1-2-3-4
+        ([(1, 2), (2, 3), (3, 4)], {1: 1, 2: 1, 3: 1, 4: 1}),
+        # star centered on 5
+        ([(5, 6), (5, 7), (5, 8)], {5: 5, 6: 5, 7: 5, 8: 5}),
+        # two cliques with a bridge
+        (
+            [(1, 2), (2, 3), (1, 3), (10, 11), (11, 12), (10, 12), (3, 10)],
+            {1: 1, 2: 1, 3: 1, 10: 1, 11: 1, 12: 1},
+        ),
+        # disjoint edge
+        ([(1, 2), (7, 9)], {1: 1, 2: 1, 7: 7, 9: 7}),
+    ],
+)
+def test_connected_components_shapes(spark, edges, expected):
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {r.id: r.cluster_id for r in connected_components(df).collect()}
+    assert got == expected
+
+
+def test_clusters_with_singletons(spark):
+    all_ids = spark.createDataFrame([(i,) for i in range(6)], "id long")
+    edges = spark.createDataFrame([(1, 2), (3, 4)], "id_a long, id_b long")
+    got = {r.id: r.cluster_id for r in clusters_with_singletons(all_ids, edges).collect()}
+    assert got == {0: 0, 1: 1, 2: 1, 3: 3, 4: 3, 5: 5}
+
+
+def test_precision_recall_f1_with_train_exclusion(spark):
+    aligns = spark.createDataFrame([(1, 10), (2, 20), (3, 30), (4, 40)], "id_a long, id_b long")
+    truth = spark.createDataFrame([(1, 10), (2, 20), (5, 50), (4, 40)], "id_a long, id_b long")
+    train = spark.createDataFrame([(4, 40)], "id_a long, id_b long")
+    r = precision_recall_f1(aligns, truth, exclude=train).first()
+    # aligns\train = {(1,10),(2,20),(3,30)}; truth\train = {(1,10),(2,20),(5,50)}
+    assert (r.tp, r.n_align, r.n_truth) == (2, 3, 3)
+    assert r.precision == pytest.approx(2 / 3)
+    assert r.recall == pytest.approx(2 / 3)
+    assert r.f1 == pytest.approx(2 / 3)
+
+
+def test_pairwise_f1_from_clusters(spark):
+    clusters = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (4, 4), (5, 4)], "id long, cluster_id long"
+    )
+    truth = spark.createDataFrame([(1, 2), (2, 3), (1, 3), (4, 5)], "id_a long, id_b long")
+    r = pairwise_f1_from_clusters(clusters, truth).first()
+    assert (r.tp, r.n_align, r.n_truth) == (4, 4, 4)
+    assert r.f1 == pytest.approx(1.0)
+
+
+def test_hits_at_k(spark):
+    scored = _scores(
+        spark,
+        [(1, 10, 0.9), (1, 11, 0.8), (1, 12, 0.7), (2, 20, 0.9), (2, 21, 0.8)],
+    )
+    truth = spark.createDataFrame([(1, 11), (2, 20)], "id_a long, id_b long")
+    r = hits_at_k(scored, truth, ks=(1, 2)).first()
+    assert r.hits_at_1 == pytest.approx(0.5)
+    assert r.hits_at_2 == pytest.approx(1.0)
+    assert r.mr == pytest.approx(1.5)
+    assert r.mrr == pytest.approx((1 / 2 + 1 / 1) / 2)
