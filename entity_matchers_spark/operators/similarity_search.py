@@ -1,0 +1,139 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+The reference's embedding-cosine top-k candidate generation
+(/root/reference/bert-int/interaction_model/get_entity_embedding.py:20-35,
+utils.py:71-110: batched GPU matmul + topk) — re-expressed without a dense
+matrix:
+
+- brute-force cosine top-k: query×corpus join pruned to a query subset;
+  native zip_with/aggregate dot product; window top-k. The *correctness
+  baseline* — O(|Q|·n), fine for |Q| small or one-off audits.
+- LSH-bucketed ANN: random-hyperplane sign bits (the in-repo precedent is
+  lshash.py's hyperplanes) from deterministic md5-derived plane vectors;
+  multi-table union of same-bucket candidates, cosine-ranked. The scale
+  path: candidates ∝ bucket size, not corpus size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from entity_matchers_spark.functions.hashing import minhash_permutation_params
+from entity_matchers_spark.functions.similarity import cosine_similarity
+
+
+def _rounded_cosine(a: Column, b: Column) -> Column:
+    """Cosine rounded to 6 dp: ranking keys must be stable across engines
+    whose float summation order may differ by a ULP."""
+    return F.round(cosine_similarity(a, b), 6)
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(query_id, neighbor_id, cos) — exact top-k by cosine, excluding self.
+
+    Queries are broadcast (small side by contract); the corpus streams
+    through one stage computing the dot products, then a window takes top-k
+    per query. No n×n materialization.
+    """
+    from pyspark.sql import Window
+
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", _rounded_cosine(F.col("qv"), F.col("cv")).alias("cos"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id", "cos", "rnk")
+    )
+
+
+def hyperplane_bucket(
+    vec: Column, dim: int, num_planes: int, table: int, seed: int = 11037
+) -> Column:
+    """Sign-bit bucket id for one LSH table: packed bits of sign(v·r_i).
+
+    Plane vectors are deterministic pseudo-random ±1 components derived from
+    the seeded LCG (plan constants — no artifacts to ship, identical on every
+    executor and engine).
+    """
+    params = minhash_permutation_params((table + 1) * num_planes * dim, seed)[
+        table * num_planes * dim :
+    ]
+    bits = []
+    for i in range(num_planes):
+        comps = params[i * dim : (i + 1) * dim]
+        dot = None
+        for j, (a, _b) in enumerate(comps):
+            sign = 1.0 if a % 2 == 0 else -1.0
+            term = F.element_at(vec, j + 1).cast("double") * F.lit(sign)
+            dot = term if dot is None else dot + term
+        bits.append(F.when(dot > 0, F.lit(1 << i)).otherwise(F.lit(0)))
+    return sum(bits[1:], bits[0])
+
+
+def lsh_ann_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    num_planes: int = 8,
+    num_tables: int = 4,
+    seed: int = 11037,
+) -> DataFrame:
+    """Approximate top-k: union of same-bucket candidates over ``num_tables``
+    hyperplane tables, cosine-ranked per query.
+
+    Each table is an equi-join on a 8-bit bucket id → expected candidate set
+    n/256 per table. Recall grows with tables; cost stays ∝ bucket sizes.
+    """
+    from pyspark.sql import Window
+
+    def bucketed(df: DataFrame, prefix: str) -> DataFrame:
+        keys = F.array(
+            *[
+                F.concat(
+                    F.lit(f"t{t}:"),
+                    hyperplane_bucket(F.col(vec_col), dim, num_planes, t, seed).cast("string"),
+                )
+                for t in range(num_tables)
+            ]
+        )
+        return df.select(
+            F.col(id_col).alias(f"{prefix}_id"),
+            F.col(vec_col).alias(f"{prefix}_vec"),
+            F.explode(keys).alias("bucket"),
+        )
+
+    qb = bucketed(queries, "query")
+    cb = bucketed(corpus, "neighbor")
+    cands = (
+        cb.join(qb, "bucket")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", "query_vec", "neighbor_vec")
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    scored = cands.select(
+        "query_id",
+        "neighbor_id",
+        _rounded_cosine(F.col("query_vec"), F.col("neighbor_vec")).alias("cos"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id", "cos", "rnk")
+    )

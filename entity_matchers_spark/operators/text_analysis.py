@@ -1,0 +1,120 @@
+"""Text analysis operators: language ID, quality scoring, token stats,
+document fingerprinting — the per-document featurization a training-data
+pipeline runs before dedup/filtering.
+
+All native column expressions (whole-stage codegen); no Python in the path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from entity_matchers_spark.functions.hashing import MINHASH_PRIME
+from entity_matchers_spark.functions.shingles import char_shingles, tokens
+
+# Tiny deterministic stopword marker sets per language — an n-gram/stopword
+# heuristic language identifier (fasttext-style lid is a model; this is the
+# rule-based fallback that needs no artifacts).
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "a", "in", "is", "that"),
+    "fr": ("le", "la", "les", "de", "et", "un", "une", "est"),
+    "de": ("der", "die", "das", "und", "ist", "ein", "eine", "nicht"),
+    "es": ("el", "la", "los", "de", "y", "un", "una", "es"),
+}
+
+
+def _marker_ratio(toks: Column, markers: tuple[str, ...]) -> Column:
+    hits = F.size(F.filter(toks, lambda t: t.isin(*markers)))
+    return F.when(F.size(toks) == 0, F.lit(0.0)).otherwise(
+        hits / F.size(toks).cast("double")
+    )
+
+
+def language_scores(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id, score_<lang>..., lang_pred): stopword-marker ratios per language
+    and the argmax (ties broken by language code order, deterministic)."""
+    toks = tokens(F.col(text_col))
+    out = df.select(F.col(id_col).alias("id"), toks.alias("_t"))
+    for lang, markers in LANG_MARKERS.items():
+        out = out.withColumn(f"score_{lang}", _marker_ratio(F.col("_t"), markers))
+    langs = sorted(LANG_MARKERS)
+    best = F.greatest(*[F.col(f"score_{lang}") for lang in langs])
+    pred = F.lit("und")
+    for lang in reversed(langs):
+        pred = F.when(F.col(f"score_{lang}") == best, F.lit(lang)).otherwise(pred)
+    pred = F.when(best == 0, F.lit("und")).otherwise(pred)
+    return out.withColumn("lang_pred", pred).drop("_t")
+
+
+def quality_features(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-doc quality signals: char/token counts, mean token length,
+    punctuation ratio, stopword ratio, alpha ratio — the usual C4/Gopher-rule
+    inputs, all computable in one projection."""
+    t = F.col(text_col)
+    toks = tokens(t)
+    n_chars = F.length(t)
+    n_tokens = F.size(toks)
+    n_punct = n_chars - F.length(F.regexp_replace(t, r"[^\w\s]", ""))
+    n_alpha = F.length(t) - F.length(F.regexp_replace(t, r"[^a-zA-Z]", ""))
+    stop = _marker_ratio(toks, LANG_MARKERS["en"])
+    return df.select(
+        F.col(id_col).alias("id"),
+        n_chars.alias("n_chars"),
+        n_tokens.alias("n_tokens"),
+        F.when(n_tokens == 0, F.lit(0.0))
+        .otherwise((n_chars - n_tokens + 1) / n_tokens.cast("double"))
+        .alias("mean_token_len"),
+        F.when(n_chars == 0, F.lit(0.0)).otherwise(n_punct / n_chars.cast("double")).alias("punct_ratio"),
+        F.when(n_chars == 0, F.lit(0.0)).otherwise(n_alpha / n_chars.cast("double")).alias("alpha_ratio"),
+        stop.alias("stopword_ratio"),
+    )
+
+
+def token_counts(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id, n_ws_tokens, n_bpe_ish_tokens): whitespace tokens plus a
+    BPE-ish count = number of matches of a subword regex (letter runs,
+    digit runs, single punctuation) — a deterministic proxy for tokenizer
+    budgeting without shipping a vocab."""
+    t = F.col(text_col)
+    ws = F.size(tokens(t))
+    # pieces = alnum runs + individual non-space punctuation chars (RE2-safe
+    # pattern, so the same regex runs in any oracle engine)
+    pieces = F.size(F.regexp_extract_all(t, F.lit(r"[a-zA-Z0-9]+|[^a-zA-Z0-9\s]"), 0))
+    return df.select(F.col(id_col).alias("id"), ws.alias("n_ws_tokens"), pieces.alias("n_pieces"))
+
+
+def fingerprint_mink(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """(id, fp): bottom-k sketch fingerprint — the k smallest md5-derived
+    hashes of the doc's char shingles, concatenated. A compact, deterministic
+    document fingerprint (rolling-hash winnowing analog) whose equality ≈
+    near-identity; groupBy(fp) is an aggressive near-dedup."""
+    grams = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(char_shingles(F.lower(F.col(text_col)), n=shingle_n)).alias("g"),
+    )
+    h = (F.conv(F.substring(F.md5("g"), 1, 8), 16, 10).cast("long") % MINHASH_PRIME).alias("h")
+    bottom = (
+        grams.select("id", h)
+        .groupBy("id")
+        .agg(F.slice(F.sort_array(F.collect_set("h")), 1, k).alias("mins"))
+    )
+    fp = bottom.select(
+        "id", F.concat_ws("-", F.transform(F.col("mins"), lambda v: v.cast("string"))).alias("fp")
+    )
+    empty = df.select(F.col(id_col).alias("id")).join(fp.select("id"), "id", "left_anti").select(
+        "id", F.lit("").alias("fp")
+    )
+    return fp.unionByName(empty)

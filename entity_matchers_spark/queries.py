@@ -42,6 +42,20 @@ def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+# Several registry queries share the ER chain prefix (blocks → pairs →
+# scores). The driver runs each query in the same process, so materialize
+# the shared prefix once per sf_dir (localCheckpoint = cluster-local
+# storage, no lineage) instead of recomputing it per query.
+_ER_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def _er_cached(spark: SparkSession, sf_dir: str, key: str, build) -> DataFrame:
+    k = (sf_dir, key)
+    if k not in _ER_CACHE:
+        _ER_CACHE[k] = build().localCheckpoint(eager=True)
+    return _ER_CACHE[k]
+
+
 # --- SQL oracle fragments ---------------------------------------------------
 
 
@@ -153,10 +167,17 @@ def _er_spark_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _er_spark_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return blocking.candidate_pairs(_er_spark_blocks(spark, sf_dir), max_block_size=ER_CAP)
+    return _er_cached(
+        spark, sf_dir, "pairs",
+        lambda: blocking.candidate_pairs(_er_spark_blocks(spark, sf_dir), max_block_size=ER_CAP),
+    )
 
 
 def _er_spark_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _er_cached(spark, sf_dir, "scores", lambda: _er_spark_scores_build(spark, sf_dir))
+
+
+def _er_spark_scores_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     from entity_matchers_spark.functions.similarity import levenshtein_ratio
 
     docs = _read(spark, sf_dir, "documents")
@@ -436,6 +457,365 @@ FROM documents d LEFT JOIN cc ON d.doc_id = cc.id
 )
 
 
+# --- dedup family ------------------------------------------------------------
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy, keep min id."""
+    from entity_matchers_spark.operators.dedup import exact_duplicates
+
+    return exact_duplicates(_read(spark, sf_dir, "documents"))
+
+
+Q_DEDUP_EXACT_SQL = """
+SELECT md5(text) AS text_hash, min(doc_id) AS keep_id, count(*) AS n_dups
+FROM documents GROUP BY 1
+"""
+
+
+def q_neardup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact char-3-gram Jaccard near-dup pairs (J ≥ 0.5) via gram-explode
+    join — the exact baseline the LSH path approximates."""
+    from entity_matchers_spark.operators.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(
+        _read(spark, sf_dir, "documents"), threshold=0.5, max_block_size=1_000_000
+    )
+
+
+Q_NEARDUP_JACCARD_SQL = """
+WITH g AS (
+  SELECT doc_id AS id,
+         list_distinct([substr(t, i, 3) for i in range(1, len(t)-1)]) AS grams
+  FROM (SELECT doc_id, lower(text) AS t FROM documents)
+)
+SELECT a.id AS id_a, b.id AS id_b,
+       len(list_intersect(a.grams, b.grams))
+         / (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams)))::DOUBLE AS jaccard
+FROM g a JOIN g b ON a.id < b.id
+WHERE len(list_intersect(a.grams, b.grams))
+        / (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams)))::DOUBLE >= 0.5
+"""
+
+
+def q_neardup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup: banded candidates + exact Jaccard ≥ 0.7 verify.
+    Oracle = ALL pairs with J ≥ 0.7 — passing requires the LSH candidate set
+    to reach full recall at this threshold (16 bands × 2 rows: miss ≈ 2e-5)."""
+    from entity_matchers_spark.operators.dedup import minhash_neardup_pairs
+
+    return minhash_neardup_pairs(_read(spark, sf_dir, "documents"), threshold=0.7)
+
+
+Q_NEARDUP_MINHASH_SQL = """
+WITH g AS (
+  SELECT doc_id AS id,
+         list_distinct([substr(t, i, 3) for i in range(1, len(t)-1)]) AS grams
+  FROM (SELECT doc_id, lower(text) AS t FROM documents)
+)
+SELECT a.id AS id_a, b.id AS id_b,
+       CASE WHEN len(list_distinct(a.grams || b.grams)) = 0 THEN 0.0
+            ELSE len(list_intersect(a.grams, b.grams))
+                 / len(list_distinct(a.grams || b.grams))::DOUBLE END AS jaccard
+FROM g a JOIN g b ON a.id < b.id
+WHERE CASE WHEN len(list_distinct(a.grams || b.grams)) = 0 THEN 0.0
+       ELSE len(list_intersect(a.grams, b.grams))
+            / len(list_distinct(a.grams || b.grams))::DOUBLE END >= 0.7
+"""
+
+
+_SIMHASH_SQL_CTE = """
+  toks AS (
+    SELECT doc_id AS id,
+           list_filter(string_split_regex(lower(text), '\\s+'), x -> x != '') AS ts
+    FROM documents
+  ),
+  sums AS (
+    SELECT id,
+      [CAST(coalesce(list_sum([((((('0x'||substr(md5(t),1,15))::UBIGINT::BIGINT) >> j) & 1)*2 - 1)
+                               for t in ts]), 0) AS BIGINT)
+       for j in range(0, 60)] AS bs
+    FROM toks
+  ),
+  sims AS (
+    SELECT id,
+      CAST(coalesce(list_sum([CASE WHEN bs[j+1] > 0 THEN (1::BIGINT << j) ELSE 0 END
+                              for j in range(0, 60)]), 0) AS BIGINT) AS simhash
+    FROM sums
+  )
+"""
+
+
+def q_simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """60-bit SimHash per document."""
+    from entity_matchers_spark.operators.dedup import simhash
+
+    return simhash(_read(spark, sf_dir, "documents")).select(
+        F.col("id").alias("doc_id"), "simhash"
+    )
+
+
+Q_SIMHASH_SQL = f"WITH {_SIMHASH_SQL_CTE} SELECT id AS doc_id, simhash FROM sims"
+
+
+def q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs within Hamming distance 3 via pigeonhole
+    chunk blocking + bit_count verify."""
+    from entity_matchers_spark.operators.dedup import simhash_neardup_pairs
+
+    return simhash_neardup_pairs(_read(spark, sf_dir, "documents"), max_hamming=3)
+
+
+Q_SIMHASH_NEARDUP_SQL = f"""
+WITH {_SIMHASH_SQL_CTE},
+  chunks AS (
+    SELECT id, simhash, 'c' || c || ':' || ((simhash >> (c*15)) & 32767) AS chunk_key
+    FROM sims, (SELECT unnest(range(4)) AS c)
+  ),
+  cands AS (
+    SELECT DISTINCT l.id AS id_a, r.id AS id_b, l.simhash AS sh_a, r.simhash AS sh_b
+    FROM chunks l JOIN chunks r USING (chunk_key)
+    WHERE l.id < r.id
+  )
+SELECT id_a, id_b, bit_count(xor(sh_a, sh_b)) AS hamming
+FROM cands WHERE bit_count(xor(sh_a, sh_b)) <= 3
+"""
+
+
+def q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bottom-k sketch fingerprint per document."""
+    from entity_matchers_spark.operators.text_analysis import fingerprint_mink
+
+    return fingerprint_mink(_read(spark, sf_dir, "documents")).select(
+        F.col("id").alias("doc_id"), "fp"
+    )
+
+
+Q_FINGERPRINTS_SQL = f"""
+WITH g AS (
+  SELECT doc_id AS id,
+         list_distinct([substr(t, i, 3) for i in range(1, len(t)-1)]) AS grams
+  FROM (SELECT doc_id, lower(text) AS t FROM documents)
+)
+SELECT id AS doc_id,
+       array_to_string(
+         list_sort(list_distinct([(('0x'||substr(md5(gr),1,8))::UBIGINT::BIGINT) % {MINHASH_PRIME}
+                                  for gr in grams]))[1:4], '-') AS fp
+FROM g
+"""
+
+
+# --- text analysis ------------------------------------------------------------
+
+
+def q_lang_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-marker language ID scores + argmax prediction."""
+    from entity_matchers_spark.operators.text_analysis import language_scores
+
+    return language_scores(_read(spark, sf_dir, "documents")).select(
+        F.col("id").alias("doc_id"), "score_en", "score_fr", "score_de", "score_es", "lang_pred"
+    )
+
+
+def _lang_score_sql(markers: tuple[str, ...]) -> str:
+    lst = ", ".join(f"'{m}'" for m in markers)
+    return (
+        f"CASE WHEN len(ts) = 0 THEN 0.0 ELSE "
+        f"len(list_filter(ts, t -> list_contains([{lst}], t))) / len(ts)::DOUBLE END"
+    )
+
+
+def _build_lang_sql() -> str:
+    from entity_matchers_spark.operators.text_analysis import LANG_MARKERS
+
+    scores = ",\n      ".join(
+        f"{_lang_score_sql(m)} AS score_{lang}" for lang, m in LANG_MARKERS.items()
+    )
+    langs = sorted(LANG_MARKERS)
+    best = "greatest(" + ", ".join(f"score_{lang}" for lang in langs) + ")"
+    cases = " ".join(f"WHEN score_{lang} = {best} THEN '{lang}'" for lang in langs)
+    return f"""
+WITH toks AS (
+  SELECT doc_id AS id,
+         list_filter(string_split_regex(lower(text), '\\s+'), x -> x != '') AS ts
+  FROM documents
+),
+scored AS (
+  SELECT id, {scores} FROM toks
+)
+SELECT id AS doc_id, score_en, score_fr, score_de, score_es,
+       CASE WHEN {best} = 0 THEN 'und' {cases} ELSE 'und' END AS lang_pred
+FROM scored
+"""
+
+
+def q_quality_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc quality signals (C4/Gopher-rule inputs)."""
+    from entity_matchers_spark.operators.text_analysis import quality_features
+
+    return quality_features(_read(spark, sf_dir, "documents")).select(
+        F.col("id").alias("doc_id"), "n_chars", "n_tokens", "mean_token_len",
+        "punct_ratio", "alpha_ratio", "stopword_ratio",
+    )
+
+
+Q_QUALITY_SQL = """
+WITH t AS (
+  SELECT doc_id, text,
+         list_filter(string_split_regex(lower(text), '\\s+'), x -> x != '') AS ts,
+         len(text) AS n_chars
+  FROM documents
+)
+SELECT doc_id, n_chars, len(ts) AS n_tokens,
+  CASE WHEN len(ts) = 0 THEN 0.0
+       ELSE (n_chars - len(ts) + 1) / len(ts)::DOUBLE END AS mean_token_len,
+  CASE WHEN n_chars = 0 THEN 0.0
+       ELSE (n_chars - len(regexp_replace(text, '[^\\w\\s]', '', 'g'))) / n_chars::DOUBLE END AS punct_ratio,
+  CASE WHEN n_chars = 0 THEN 0.0
+       ELSE (n_chars - len(regexp_replace(text, '[^a-zA-Z]', '', 'g'))) / n_chars::DOUBLE END AS alpha_ratio,
+  CASE WHEN len(ts) = 0 THEN 0.0
+       ELSE len(list_filter(ts, t -> list_contains(['the','and','of','to','a','in','is','that'], t)))
+            / len(ts)::DOUBLE END AS stopword_ratio
+FROM t
+"""
+
+
+def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace + BPE-ish subword-piece counts per document."""
+    from entity_matchers_spark.operators.text_analysis import token_counts
+
+    return token_counts(_read(spark, sf_dir, "documents")).select(
+        F.col("id").alias("doc_id"), "n_ws_tokens", "n_pieces"
+    )
+
+
+Q_TOKEN_COUNTS_SQL = r"""
+SELECT doc_id,
+  len(list_filter(string_split_regex(lower(text), '\s+'), x -> x != '')) AS n_ws_tokens,
+  len(regexp_extract_all(text, '[a-zA-Z0-9]+|[^a-zA-Z0-9\s]')) AS n_pieces
+FROM documents
+"""
+
+
+# --- similarity search --------------------------------------------------------
+
+
+def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 for query vectors (vec_id % 50 == 0),
+    broadcast query side, ranked on 6-dp-rounded cosine for stability."""
+    from entity_matchers_spark.operators.similarity_search import cosine_topk
+
+    emb = _read(spark, sf_dir, "embeddings")
+    qs = emb.where(F.col("vec_id") % 50 == 0)
+    return cosine_topk(emb, qs, k=5)
+
+
+Q_ANN_COSINE_SQL = """
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id % 50 = 0),
+scored AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id,
+         round(list_cosine_similarity(c.embedding::DOUBLE[], q.qv::DOUBLE[]), 6) AS cos
+  FROM embeddings c, q
+  WHERE q.query_id != c.vec_id
+)
+SELECT query_id, neighbor_id, cos, rnk FROM (
+  SELECT query_id, neighbor_id, cos,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rnk
+  FROM scored
+) WHERE rnk <= 5
+"""
+
+
+def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed approximate top-5 (rows-only check: candidate set is
+    LSH-dependent by design; quality is asserted in tests vs brute force)."""
+    from entity_matchers_spark.operators.similarity_search import lsh_ann_topk
+
+    emb = _read(spark, sf_dir, "embeddings")
+    qs = emb.where(F.col("vec_id") % 50 == 0)
+    return lsh_ann_topk(emb, qs, k=5)
+
+
+# --- eval / rescaling on the ER chain -----------------------------------------
+
+
+def q_er_csls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSLS hubness rescaling over the blocked pair scores (k=10)."""
+    scored = _er_spark_scores(spark, sf_dir)
+    return matching.csls_rescale(scored, k=10).select(
+        "id_a", "id_b", "score", F.round("csls", 6).alias("csls")
+    )
+
+
+Q_ER_CSLS_SQL = (
+    f"WITH {_er_blocks_sql()}, {_er_pairs_sql()}, {_er_scores_sql()}, "
+    """
+  ra AS (
+    SELECT id_a, id_b, score,
+           row_number() OVER (PARTITION BY id_a ORDER BY score DESC, id_b ASC) AS rn
+    FROM final_scored
+  ),
+  rb AS (
+    SELECT id_a, id_b, score,
+           row_number() OVER (PARTITION BY id_b ORDER BY score DESC, id_a ASC) AS rn
+    FROM final_scored
+  ),
+  ma AS (SELECT id_a, avg(score) AS m FROM ra WHERE rn <= 10 GROUP BY id_a),
+  mb AS (SELECT id_b, avg(score) AS m FROM rb WHERE rn <= 10 GROUP BY id_b)
+SELECT s.id_a, s.id_b, s.score, round(2*s.score - ma.m - mb.m, 6) AS csls
+FROM final_scored s JOIN ma ON s.id_a = ma.id_a JOIN mb ON s.id_b = mb.id_b
+"""
+)
+
+
+def q_er_eval_prf1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-based P/R/F1 of the mutual-best alignment vs a derived truth set
+    (pairs with jac3 ≥ 0.55) — the reference's evaluation protocol as a
+    single-row query."""
+    from entity_matchers_spark.operators.evaluation import precision_recall_f1
+
+    scored = _er_spark_scores(spark, sf_dir)
+    aligns = matching.mutual_best(scored).select("id_a", "id_b")
+    truth = scored.where(F.col("jac3") >= 0.55).select("id_a", "id_b")
+    return precision_recall_f1(aligns, truth)
+
+
+Q_ER_EVAL_SQL = (
+    f"WITH {_er_blocks_sql()}, {_er_pairs_sql()}, {_er_scores_sql()}, "
+    """
+  best_a AS (
+    SELECT id_a, id_b FROM (
+      SELECT id_a, id_b,
+             row_number() OVER (PARTITION BY id_a ORDER BY score DESC, id_b ASC) AS rn
+      FROM final_scored) WHERE rn = 1
+  ),
+  best_b AS (
+    SELECT id_a, id_b FROM (
+      SELECT id_a, id_b,
+             row_number() OVER (PARTITION BY id_b ORDER BY score DESC, id_a ASC) AS rn
+      FROM final_scored) WHERE rn = 1
+  ),
+  aligns AS (
+    SELECT s.id_a, s.id_b FROM final_scored s
+    JOIN best_a USING (id_a, id_b) JOIN best_b USING (id_a, id_b)
+  ),
+  truth AS (SELECT id_a, id_b FROM final_scored WHERE jac3 >= 0.55),
+  stats AS (
+    SELECT
+      (SELECT count(*) FROM aligns JOIN truth USING (id_a, id_b)) AS tp,
+      (SELECT count(*) FROM aligns) AS n_align,
+      (SELECT count(*) FROM truth) AS n_truth
+  )
+SELECT tp, n_align, n_truth,
+       tp / n_align::DOUBLE AS precision,
+       tp / n_truth::DOUBLE AS recall,
+       2 * (tp / n_align::DOUBLE) * (tp / n_truth::DOUBLE)
+         / ((tp / n_align::DOUBLE) + (tp / n_truth::DOUBLE)) AS f1
+FROM stats
+"""
+)
+
+
 # ---------------------------------------------------------------------------
 
 QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
@@ -449,4 +829,17 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "er_pair_scores": (q_er_pair_scores, Q_ER_PAIR_SCORES_SQL),
     "er_mutual_best": (q_er_mutual_best, Q_ER_MUTUAL_BEST_SQL),
     "er_clusters": (q_er_clusters, Q_ER_CLUSTERS_SQL),
+    "er_csls": (q_er_csls, Q_ER_CSLS_SQL),
+    "er_eval_prf1": (q_er_eval_prf1, Q_ER_EVAL_SQL),
+    "dedup_exact": (q_dedup_exact, Q_DEDUP_EXACT_SQL),
+    "neardup_jaccard": (q_neardup_jaccard, Q_NEARDUP_JACCARD_SQL),
+    "neardup_minhash": (q_neardup_minhash, Q_NEARDUP_MINHASH_SQL),
+    "simhash_signatures": (q_simhash_signatures, Q_SIMHASH_SQL),
+    "simhash_neardup": (q_simhash_neardup, Q_SIMHASH_NEARDUP_SQL),
+    "fingerprints": (q_fingerprints, Q_FINGERPRINTS_SQL),
+    "lang_scores": (q_lang_scores, _build_lang_sql()),
+    "quality_features": (q_quality_features, Q_QUALITY_SQL),
+    "token_counts": (q_token_counts, Q_TOKEN_COUNTS_SQL),
+    "ann_cosine_topk": (q_ann_cosine_topk, Q_ANN_COSINE_SQL),
+    "ann_lsh_topk": (q_ann_lsh_topk, None),
 }
