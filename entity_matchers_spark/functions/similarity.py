@@ -86,15 +86,106 @@ def cosine_similarity(a: Column, b: Column) -> Column:
     return F.when((na == 0) | (nb == 0), F.lit(0.0)).otherwise(dot / (na * nb))
 
 
+def _codes_matrix(s: pd.Series, width: int) -> tuple[np.ndarray, np.ndarray]:
+    """(n, width) int32 codepoint matrix (0-padded) + (n,) lengths — built
+    with pandas C string kernels (pad + join + utf-32 decode), no per-row
+    Python."""
+    s = s.fillna("").str.slice(0, width)
+    lens = s.str.len().to_numpy(dtype=np.int64)
+    padded = s.str.pad(width, side="right", fillchar="\x00")
+    buf = "".join(padded.tolist()).encode("utf-32-le")
+    codes = np.frombuffer(buf, dtype=np.uint32).reshape(len(s), width)
+    return codes, lens
+
+
 def _jaro_winkler_batch(s1: pd.Series, s2: pd.Series) -> pd.Series:
-    """Vectorized-per-batch Jaro-Winkler matching DuckDB semantics:
-    empty either side → 0.0; boost iff jaro > 0.7; prefix ≤ 4; weight 0.1."""
-    out = np.empty(len(s1), dtype=np.float64)
-    a_list = s1.fillna("").to_numpy()
-    b_list = s2.fillna("").to_numpy()
-    for i in range(len(out)):
-        out[i] = _jaro_winkler_one(a_list[i], b_list[i])
-    return pd.Series(out)
+    """Batch Jaro-Winkler, fully numpy-vectorized (no per-row Python, per
+    the north star): the greedy character-matching loop runs over *string
+    positions* (≤ width iterations), each step a vectorized op across the
+    whole batch. Bit-identical to the scalar reference ``_jaro_winkler_one``
+    / DuckDB's ``jaro_winkler_similarity``: empty either side → 0.0; boost
+    iff jaro > 0.7; prefix ≤ 4; weight 0.1.
+
+    Processed in row chunks so the ~8 live (chunk, width) temporaries stay
+    cache-resident: with 32 concurrent workers the full-batch version is
+    memory-bandwidth-bound and core-count scaling collapses.
+    """
+    n = len(s1)
+    if n == 0:
+        return pd.Series([], dtype=np.float64)
+    width = max(int(s1.fillna("").str.len().max() or 0), int(s2.fillna("").str.len().max() or 0))
+    if width == 0:
+        return pd.Series(np.zeros(n, dtype=np.float64))
+    a, la = _codes_matrix(s1, width)
+    b, lb = _codes_matrix(s2, width)
+
+    chunk = max(1, 262144 // max(width, 1))  # ~1MB of uint32 codes per side
+    if n > chunk:
+        parts = [
+            _jw_codes_block(a[i : i + chunk], la[i : i + chunk], b[i : i + chunk], lb[i : i + chunk], width)
+            for i in range(0, n, chunk)
+        ]
+        return pd.Series(np.concatenate(parts))
+    return pd.Series(_jw_codes_block(a, la, b, lb, width))
+
+
+def _jw_codes_block(a, la, b, lb, width) -> np.ndarray:
+    n = len(la)
+    window = np.maximum(np.maximum(la, lb) // 2 - 1, 0)
+    cols = np.arange(width, dtype=np.int64)
+    b_matched = np.zeros((n, width), dtype=bool)
+    a_matched = np.zeros((n, width), dtype=bool)
+    valid_b = cols[None, :] < lb[:, None]
+
+    for i in range(width):
+        active = i < la
+        if not active.any():
+            break
+        lo = i - window
+        hi = i + window + 1
+        cand = (
+            (b == a[:, i : i + 1])
+            & ~b_matched
+            & valid_b
+            & (cols[None, :] >= lo[:, None])
+            & (cols[None, :] < hi[:, None])
+            & active[:, None]
+        )
+        hit = cand.any(axis=1)
+        j = cand.argmax(axis=1)
+        rows = np.nonzero(hit)[0]
+        b_matched[rows, j[rows]] = True
+        a_matched[rows, i] = True
+
+    m = a_matched.sum(axis=1)
+
+    # k-th matched char of a (in i order) vs k-th matched char of b (in j
+    # order): scatter by per-row match rank, count half-transpositions.
+    rank_a = np.cumsum(a_matched, axis=1) - 1
+    rank_b = np.cumsum(b_matched, axis=1) - 1
+    am = np.zeros((n, width), dtype=a.dtype)
+    bm = np.zeros((n, width), dtype=b.dtype)
+    ra, ca = np.nonzero(a_matched)
+    rb, cb = np.nonzero(b_matched)
+    am[ra, rank_a[ra, ca]] = a[ra, ca]
+    bm[rb, rank_b[rb, cb]] = b[rb, cb]
+    in_m = cols[None, :] < m[:, None]
+    t = ((am != bm) & in_m).sum(axis=1) // 2
+
+    m_f = m.astype(np.float64)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        jaro = (m_f / la + m_f / lb + (m_f - t) / m_f) / 3.0
+    jaro = np.where(m > 0, jaro, 0.0)
+
+    pw = min(4, width)
+    eq4 = (a[:, :pw] == b[:, :pw]) & (cols[None, :pw] < np.minimum(la, lb)[:, None])
+    prefix = np.cumprod(eq4, axis=1).sum(axis=1).astype(np.float64)
+    out = np.where(jaro > 0.7, jaro + 0.1 * prefix * (1.0 - jaro), jaro)
+
+    equal = (la == lb) & (a == b).all(axis=1)
+    out = np.where(equal, 1.0, out)
+    out = np.where((la == 0) | (lb == 0), 0.0, out)
+    return out
 
 
 def _jaro_winkler_one(a: str, b: str) -> float:
@@ -136,3 +227,41 @@ def _jaro_winkler_one(a: str, b: str) -> float:
 @pandas_udf(DoubleType())
 def jaro_winkler_udf(a: pd.Series, b: pd.Series) -> pd.Series:
     return _jaro_winkler_batch(a, b)
+
+
+def _jaccard_hashed_batch(sa: pd.Series, sb: pd.Series) -> pd.Series:
+    """Batch Jaccard over distinct-int-hash arrays, fully vectorized.
+
+    The native ``array_intersect`` builds a boxed hash set per row; at 6M+
+    pairs x ~250 elements that allocation rate collapses into GC and the
+    stage scales INVERSELY with cores (measured 24s@8 -> 96s@32 on
+    identical input). Here: pack (row, value) into one uint64 per element
+    (value < 2^32 by construction, row < 2^32 per Arrow batch), sort the
+    concatenated a+b keys, count adjacent duplicates per row — one C-speed
+    sort per batch, zero per-row Python in the element math.
+    """
+    n = len(sa)
+    if n == 0:
+        return pd.Series([], dtype=np.float64)
+    a_arrays = sa.to_numpy()
+    b_arrays = sb.to_numpy()
+    la = np.fromiter((len(x) for x in a_arrays), dtype=np.int64, count=n)
+    lb = np.fromiter((len(x) for x in b_arrays), dtype=np.int64, count=n)
+    rows_a = np.repeat(np.arange(n, dtype=np.uint64), la)
+    rows_b = np.repeat(np.arange(n, dtype=np.uint64), lb)
+    vals_a = (np.concatenate(a_arrays) if la.sum() else np.array([], dtype=np.int64)).astype(np.uint64)
+    vals_b = (np.concatenate(b_arrays) if lb.sum() else np.array([], dtype=np.int64)).astype(np.uint64)
+    both = np.concatenate([(rows_a << np.uint64(32)) | vals_a, (rows_b << np.uint64(32)) | vals_b])
+    both.sort()
+    dup = both[1:] == both[:-1]
+    shared_rows = (both[1:][dup] >> np.uint64(32)).astype(np.int64)
+    inter = np.bincount(shared_rows, minlength=n)
+    union = la + lb - inter
+    with np.errstate(divide="ignore", invalid="ignore"):
+        jac = inter / union.astype(np.float64)
+    return pd.Series(np.where(union > 0, jac, 0.0))
+
+
+@pandas_udf(DoubleType())
+def jaccard_hashed_udf(a: pd.Series, b: pd.Series) -> pd.Series:
+    return _jaccard_hashed_batch(a, b)

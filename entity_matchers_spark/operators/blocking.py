@@ -79,19 +79,25 @@ def minhash_signatures(
     """
     from entity_matchers_spark.functions.hashing import minhash_permutation_params
 
-    grams = df.select(
-        F.col(id_col).alias("id"),
-        F.explode(
-            char_shingles(F.lower(F.substring(F.col(text_col), 1, text_cap)), n=shingle_n)
-        ).alias("g"),
-    )
     if use_xxhash:
+        grams = df.select(
+            F.col(id_col).alias("id"),
+            F.explode(
+                char_shingles(F.lower(F.substring(F.col(text_col), 1, text_cap)), n=shingle_n)
+            ).alias("g"),
+        )
         base = grams.select("id", F.pmod(F.xxhash64("g"), F.lit(MINHASH_PRIME)).alias("h"))
     else:
-        base = grams.select(
-            "id",
-            (F.conv(F.substring(F.md5("g"), 1, 8), 16, 10).cast("long") % MINHASH_PRIME).alias("h"),
-        )
+        # hash each gram ONCE map-side (int array), explode the ints — the
+        # md5 cost is per distinct gram, and the exploded rows are 8 bytes
+        from entity_matchers_spark.functions.shingles import hashed_shingles
+
+        base = df.select(
+            F.col(id_col).alias("id"),
+            F.explode(
+                hashed_shingles(F.lower(F.substring(F.col(text_col), 1, text_cap)), n=shingle_n)
+            ).alias("hg"),
+        ).select("id", (F.col("hg") % MINHASH_PRIME).alias("h"))
     params = minhash_permutation_params(num_perm, seed)
     aggs = [
         F.min((F.lit(a) * F.col("h") + F.lit(b)) % MINHASH_PRIME).alias(f"s{i}")

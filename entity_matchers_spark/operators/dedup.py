@@ -28,7 +28,7 @@ from pyspark.sql import functions as F
 
 from entity_matchers_spark.functions.hashing import MINHASH_PRIME
 from entity_matchers_spark.functions.shingles import char_shingles, tokens
-from entity_matchers_spark.functions.similarity import jaccard_arrays
+from entity_matchers_spark.functions.similarity import jaccard_hashed_udf
 from entity_matchers_spark.operators.blocking import cap_block_sizes, minhash_signatures
 
 SIMHASH_BITS = 60
@@ -59,9 +59,11 @@ def ngram_jaccard_pairs(
     Jaccard from |A|+|B|-shared. Map-side combine on the pair groupBy; the
     frequency cap drops stop-grams that would explode the join.
     """
+    from entity_matchers_spark.functions.shingles import hashed_shingles
+
     grams = df.select(
         F.col(id_col).alias("id"),
-        F.explode(char_shingles(F.lower(F.col(text_col)), n=n)).alias("g"),
+        F.explode(hashed_shingles(F.lower(F.col(text_col)), n=n)).alias("g"),
     )
     sizes = grams.groupBy("id").agg(F.count("*").alias("sz"))
     capped = cap_block_sizes(grams.withColumnRenamed("g", "block_id"), max_block_size)
@@ -121,14 +123,16 @@ def minhash_neardup_pairs(
         .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
         .distinct()
     )
+    from entity_matchers_spark.functions.shingles import hashed_shingles
+
     sh = df.select(
         F.col(id_col).alias("id"),
-        char_shingles(F.lower(F.substring(F.col(text_col), 1, text_cap)), n=shingle_n).alias("sh"),
+        hashed_shingles(F.lower(F.substring(F.col(text_col), 1, text_cap)), n=shingle_n).alias("sh"),
     )
     verified = (
         cands.join(sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a")), "id_a")
         .join(sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b")), "id_b")
-        .withColumn("jaccard", jaccard_arrays(F.col("sh_a"), F.col("sh_b")))
+        .withColumn("jaccard", jaccard_hashed_udf(F.col("sh_a"), F.col("sh_b")))
         .where(F.col("jaccard") >= threshold)
     )
     return verified.select("id_a", "id_b", "jaccard")

@@ -24,11 +24,11 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from entity_matchers_spark.functions.shingles import char_shingles, tokens
+from entity_matchers_spark.functions.shingles import char_shingles, hashed_shingles, tokens
 from entity_matchers_spark.functions.similarity import (
-    jaccard_arrays,
+    jaccard_hashed_udf,
     jaro_winkler_udf,
-    token_set_levenshtein_ratio,
+    levenshtein_ratio,
 )
 
 DEFAULT_WEIGHTS = {"jw": 0.3, "tslr": 0.4, "jac3": 0.3}
@@ -56,6 +56,7 @@ def score_pairs(
     id_col: str = "id",
     text_col: str = "text",
     name_cap: int = 64,
+    tslr_cap: int = 192,
     weights: dict[str, float] | None = None,
 ) -> DataFrame:
     """Join candidate pairs to both sides' text, compute the feature struct
@@ -67,25 +68,45 @@ def score_pairs(
     — no data motion beyond the two id joins.
     """
     w = weights or DEFAULT_WEIGHTS
+    # The feature select is compute-bound (pandas UDF + levenshtein); spread
+    # the pair table across all cores up front — AQE sizes partitions by
+    # shuffle bytes and would otherwise run tiny-but-expensive stages on one
+    # task. At production scale this is the join shuffle it would do anyway.
+    # 3 tasks per core: with exactly one wave the slowest task extends the
+    # whole stage; finer tasks level the tail.
+    sc = pairs.sparkSession.sparkContext
+    pairs = pairs.repartition(3 * sc.defaultParallelism, "id_a", "id_b")
+    # per-doc features computed ONCE map-side; the pair rows carry only the
+    # capped name/canon strings + hashed gram set — never the raw text
+    canon = F.substring(
+        F.concat_ws(
+            " ",
+            F.sort_array(
+                F.array_distinct(F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != ""))
+            ),
+        ),
+        1,
+        tslr_cap,
+    )
     a = docs.select(
         F.col(id_col).alias("id_a"),
-        F.col(text_col).alias("text_a"),
         F.lower(F.substring(F.col(text_col), 1, name_cap)).alias("name_a"),
-        char_shingles(F.lower(F.substring(F.col(text_col), 1, 300))).alias("sh_a"),
+        canon.alias("canon_a"),
+        hashed_shingles(F.lower(F.substring(F.col(text_col), 1, 300))).alias("sh_a"),
     )
     b = docs.select(
         F.col(id_col).alias("id_b"),
-        F.col(text_col).alias("text_b"),
         F.lower(F.substring(F.col(text_col), 1, name_cap)).alias("name_b"),
-        char_shingles(F.lower(F.substring(F.col(text_col), 1, 300))).alias("sh_b"),
+        canon.alias("canon_b"),
+        hashed_shingles(F.lower(F.substring(F.col(text_col), 1, 300))).alias("sh_b"),
     )
     joined = pairs.join(a, "id_a").join(b, "id_b")
     scored = joined.select(
         "id_a",
         "id_b",
         F.round(jaro_winkler_udf(F.col("name_a"), F.col("name_b")), 9).alias("jw"),
-        F.round(token_set_levenshtein_ratio("text_a", "text_b"), 9).alias("tslr"),
-        F.round(jaccard_arrays(F.col("sh_a"), F.col("sh_b")), 9).alias("jac3"),
+        F.round(levenshtein_ratio("canon_a", "canon_b"), 9).alias("tslr"),
+        F.round(jaccard_hashed_udf(F.col("sh_a"), F.col("sh_b")), 9).alias("jac3"),
     )
     blend = sum(F.col(k) * F.lit(v) for k, v in w.items())
     return scored.withColumn("score", F.round(blend, 9))

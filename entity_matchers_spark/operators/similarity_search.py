@@ -16,6 +16,8 @@ matrix:
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -59,28 +61,41 @@ def cosine_topk(
     )
 
 
-def hyperplane_bucket(
-    vec: Column, dim: int, num_planes: int, table: int, seed: int = 11037
-) -> Column:
-    """Sign-bit bucket id for one LSH table: packed bits of sign(v·r_i).
+def _plane_signs(dim: int, num_planes: int, num_tables: int, seed: int):
+    """(num_tables*num_planes, dim) ±1 matrix from the seeded LCG — plan
+    constants, identical on every executor; no artifacts to ship."""
+    params = minhash_permutation_params(num_tables * num_planes * dim, seed)
+    signs = np.array([1.0 if a % 2 == 0 else -1.0 for a, _b in params], dtype=np.float64)
+    return signs.reshape(num_tables * num_planes, dim)
 
-    Plane vectors are deterministic pseudo-random ±1 components derived from
-    the seeded LCG (plan constants — no artifacts to ship, identical on every
-    executor and engine).
+
+def hyperplane_bucket_keys_udf(
+    dim: int, num_planes: int, num_tables: int, seed: int = 11037
+):
+    """Vectorized bucketing: one Arrow batch → all tables' bucket keys.
+
+    Sign-bit LSH as ONE numpy matmul per batch instead of
+    tables×planes×dim unrolled column expressions — the expression form
+    generates megabytes of codegen (Janino compile dominates runtime) and
+    falls off the fast path. Bucket key for table t: ``"t<t>:<packed sign
+    bits of v·r_i>"``, bit i weighted 2^i, strictly-positive dot = 1.
     """
-    params = minhash_permutation_params((table + 1) * num_planes * dim, seed)[
-        table * num_planes * dim :
-    ]
-    bits = []
-    for i in range(num_planes):
-        comps = params[i * dim : (i + 1) * dim]
-        dot = None
-        for j, (a, _b) in enumerate(comps):
-            sign = 1.0 if a % 2 == 0 else -1.0
-            term = F.element_at(vec, j + 1).cast("double") * F.lit(sign)
-            dot = term if dot is None else dot + term
-        bits.append(F.when(dot > 0, F.lit(1 << i)).otherwise(F.lit(0)))
-    return sum(bits[1:], bits[0])
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import ArrayType, StringType
+
+    planes_t = _plane_signs(dim, num_planes, num_tables, seed).T  # (dim, T*P)
+    weights = 1 << np.arange(num_planes, dtype=np.int64)
+
+    @pandas_udf(ArrayType(StringType()))
+    def _bucket_keys(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:
+            return pd.Series([], dtype=object)
+        m = np.vstack(vecs.to_numpy()).astype(np.float64)  # (n, dim)
+        bits = (m @ planes_t) > 0  # (n, T*P)
+        codes = (bits.reshape(len(m), num_tables, num_planes) * weights).sum(axis=2)
+        return pd.Series([[f"t{t}:{row[t]}" for t in range(num_tables)] for row in codes])
+
+    return _bucket_keys
 
 
 def lsh_ann_topk(
@@ -102,20 +117,13 @@ def lsh_ann_topk(
     """
     from pyspark.sql import Window
 
+    keys_udf = hyperplane_bucket_keys_udf(dim, num_planes, num_tables, seed)
+
     def bucketed(df: DataFrame, prefix: str) -> DataFrame:
-        keys = F.array(
-            *[
-                F.concat(
-                    F.lit(f"t{t}:"),
-                    hyperplane_bucket(F.col(vec_col), dim, num_planes, t, seed).cast("string"),
-                )
-                for t in range(num_tables)
-            ]
-        )
         return df.select(
             F.col(id_col).alias(f"{prefix}_id"),
             F.col(vec_col).alias(f"{prefix}_vec"),
-            F.explode(keys).alias("bucket"),
+            F.explode(keys_udf(F.col(vec_col))).alias("bucket"),
         )
 
     qb = bucketed(queries, "query")

@@ -18,9 +18,10 @@ from entity_matchers_spark.functions.hashing import (
     MINHASH_PRIME,
     minhash_permutation_params,
 )
-from entity_matchers_spark.functions.shingles import char_shingles, tokens
+from entity_matchers_spark.functions.shingles import char_shingles, hashed_shingles, tokens
 from entity_matchers_spark.functions.similarity import (
     jaccard_arrays,
+    jaccard_hashed_udf,
     jaro_winkler_udf,
     token_set_levenshtein_ratio,
 )
@@ -35,11 +36,27 @@ ER_ROWS = 2
 ER_SEED = 11037
 ER_CAP = 64
 ER_NAME_CAP = 64
+# canonical token-set string capped before levenshtein: cost is O(len^2)
+# per pair and the builtin allocates 2 int rows per call — the cap bounds
+# both while the sorted-distinct prefix keeps the comparison stable
+ER_TSLR_CAP = 192
 ER_EDGE_THRESHOLD = 0.62
 
 
 def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents table, spread across all cores: the test parquet is a
+    single row group (1 scan task), but every documents query is compute-
+    bound (shingling, hashing, string math) — repartition by id so the
+    per-doc work parallelizes. On a many-file production table the scan is
+    already wide and this collapses into the downstream shuffle."""
+    from entity_matchers_spark.session import default_partitions
+
+    docs = _read(spark, sf_dir, "documents")
+    return docs.repartition(default_partitions(spark), "doc_id")
 
 
 # Several registry queries share the ER chain prefix (blocks → pairs →
@@ -66,8 +83,7 @@ def _sig_sql_entries(num_perm: int, seed: int = ER_SEED) -> list[str]:
     entries = []
     for a, b in minhash_permutation_params(num_perm, seed):
         entries.append(
-            f"coalesce(list_min([({a}*((('0x'||substr(md5(g),1,8))::UBIGINT::BIGINT)%{p})+{b})%{p} "
-            f"for g in grams]), {p})"
+            f"coalesce(list_min([({a}*(g%{p})+{b})%{p} for g in grams]), {p})"
         )
     return entries
 
@@ -85,7 +101,8 @@ def _er_blocks_sql() -> str:
     return f"""
   grams_t AS (
     SELECT doc_id AS id,
-           list_distinct([substr(t, i, 3) for i in range(1, len(t)-1)]) AS grams
+           list_distinct([('0x'||substr(md5(substr(t, i, 3)),1,8))::UBIGINT::BIGINT
+                          for i in range(1, len(t)-1)]) AS grams
     FROM (SELECT doc_id, lower(substr(text, 1, 300)) AS t FROM documents)
   ),
   sig AS (
@@ -126,8 +143,8 @@ _TSLR_CANON = (
 
 def _er_scores_sql() -> str:
     """Scored pairs CTE (requires blocks + pairs CTEs)."""
-    canon_a = _TSLR_CANON.format(c="da.text")
-    canon_b = _TSLR_CANON.format(c="db.text")
+    canon_a = f"substr({_TSLR_CANON.format(c='da.text')}, 1, {ER_TSLR_CAP})"
+    canon_b = f"substr({_TSLR_CANON.format(c='db.text')}, 1, {ER_TSLR_CAP})"
     return f"""
   scored AS (
     SELECT id_a, id_b,
@@ -154,7 +171,7 @@ def _er_scores_sql() -> str:
 
 
 def _er_spark_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _read(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     mh = blocking.minhash_block_keys(
         docs, id_col="doc_id", text_col="text",
         num_bands=ER_BANDS, rows_per_band=ER_ROWS, seed=ER_SEED,
@@ -180,8 +197,14 @@ def _er_spark_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _er_spark_scores_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     from entity_matchers_spark.functions.similarity import levenshtein_ratio
 
-    docs = _read(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     pairs = _er_spark_pairs(spark, sf_dir)
+    # The scored select below is compute-bound (JW pandas UDF + levenshtein
+    # on ~300-char strings); the doc sides broadcast at test scale, so the
+    # pair partitioning is what the scoring stage inherits — spread it.
+    from entity_matchers_spark.session import default_partitions
+
+    pairs = pairs.repartition(default_partitions(spark), "id_a", "id_b")
     # Per-doc features are computed ONCE here; the join shuffle materializes
     # them, so the pair-level expressions below see plain arrays/strings.
     canon = F.concat_ws(
@@ -190,8 +213,8 @@ def _er_spark_scores_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     sides = docs.select(
         F.col("doc_id").alias("id"),
         F.lower(F.substring("text", 1, ER_NAME_CAP)).alias("name"),
-        canon.alias("canon"),
-        char_shingles(F.lower(F.substring("text", 1, 300))).alias("sh"),
+        F.substring(canon, 1, ER_TSLR_CAP).alias("canon"),
+        hashed_shingles(F.lower(F.substring("text", 1, 300))).alias("sh"),
     )
     a = sides.select(
         F.col("id").alias("id_a"), F.col("name").alias("name_a"),
@@ -207,7 +230,7 @@ def _er_spark_scores_build(spark: SparkSession, sf_dir: str) -> DataFrame:
             "id_a", "id_b",
             jaro_winkler_udf(F.col("name_a"), F.col("name_b")).alias("jw"),
             levenshtein_ratio("canon_a", "canon_b").alias("tslr"),
-            jaccard_arrays(F.col("sh_a"), F.col("sh_b")).alias("jac3"),
+            jaccard_hashed_udf(F.col("sh_a"), F.col("sh_b")).alias("jac3"),
         )
     )
     # No rounding anywhere: every feature is computed from identical operands
@@ -415,7 +438,7 @@ def q_er_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     mutual-best edges; unmatched docs are singletons."""
     scored = _er_spark_scores(spark, sf_dir)
     edges = matching.mutual_best(scored, min_score=ER_EDGE_THRESHOLD).select("id_a", "id_b")
-    docs = _read(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     return clustering.clusters_with_singletons(docs, edges, id_col="doc_id").select(
         F.col("id").alias("doc_id"), "cluster_id"
     )
@@ -464,7 +487,7 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup: hash-groupBy, keep min id."""
     from entity_matchers_spark.operators.dedup import exact_duplicates
 
-    return exact_duplicates(_read(spark, sf_dir, "documents"))
+    return exact_duplicates(_docs(spark, sf_dir))
 
 
 Q_DEDUP_EXACT_SQL = """
@@ -479,14 +502,15 @@ def q_neardup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     from entity_matchers_spark.operators.dedup import ngram_jaccard_pairs
 
     return ngram_jaccard_pairs(
-        _read(spark, sf_dir, "documents"), threshold=0.5, max_block_size=1_000_000
+        _docs(spark, sf_dir), threshold=0.5, max_block_size=1_000_000
     )
 
 
 Q_NEARDUP_JACCARD_SQL = """
 WITH g AS (
   SELECT doc_id AS id,
-         list_distinct([substr(t, i, 3) for i in range(1, len(t)-1)]) AS grams
+         list_distinct([('0x'||substr(md5(substr(t, i, 3)),1,8))::UBIGINT::BIGINT
+                        for i in range(1, len(t)-1)]) AS grams
   FROM (SELECT doc_id, lower(text) AS t FROM documents)
 )
 SELECT a.id AS id_a, b.id AS id_b,
@@ -504,13 +528,14 @@ def q_neardup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     to reach full recall at this threshold (16 bands × 2 rows: miss ≈ 2e-5)."""
     from entity_matchers_spark.operators.dedup import minhash_neardup_pairs
 
-    return minhash_neardup_pairs(_read(spark, sf_dir, "documents"), threshold=0.7)
+    return minhash_neardup_pairs(_docs(spark, sf_dir), threshold=0.7)
 
 
 Q_NEARDUP_MINHASH_SQL = """
 WITH g AS (
   SELECT doc_id AS id,
-         list_distinct([substr(t, i, 3) for i in range(1, len(t)-1)]) AS grams
+         list_distinct([('0x'||substr(md5(substr(t, i, 3)),1,8))::UBIGINT::BIGINT
+                        for i in range(1, len(t)-1)]) AS grams
   FROM (SELECT doc_id, lower(text) AS t FROM documents)
 )
 SELECT a.id AS id_a, b.id AS id_b,
@@ -550,7 +575,7 @@ def q_simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """60-bit SimHash per document."""
     from entity_matchers_spark.operators.dedup import simhash
 
-    return simhash(_read(spark, sf_dir, "documents")).select(
+    return simhash(_docs(spark, sf_dir)).select(
         F.col("id").alias("doc_id"), "simhash"
     )
 
@@ -563,7 +588,7 @@ def q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     chunk blocking + bit_count verify."""
     from entity_matchers_spark.operators.dedup import simhash_neardup_pairs
 
-    return simhash_neardup_pairs(_read(spark, sf_dir, "documents"), max_hamming=3)
+    return simhash_neardup_pairs(_docs(spark, sf_dir), max_hamming=3)
 
 
 Q_SIMHASH_NEARDUP_SQL = f"""
@@ -586,7 +611,7 @@ def q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bottom-k sketch fingerprint per document."""
     from entity_matchers_spark.operators.text_analysis import fingerprint_mink
 
-    return fingerprint_mink(_read(spark, sf_dir, "documents")).select(
+    return fingerprint_mink(_docs(spark, sf_dir)).select(
         F.col("id").alias("doc_id"), "fp"
     )
 
@@ -612,7 +637,7 @@ def q_lang_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stopword-marker language ID scores + argmax prediction."""
     from entity_matchers_spark.operators.text_analysis import language_scores
 
-    return language_scores(_read(spark, sf_dir, "documents")).select(
+    return language_scores(_docs(spark, sf_dir)).select(
         F.col("id").alias("doc_id"), "score_en", "score_fr", "score_de", "score_es", "lang_pred"
     )
 
@@ -653,7 +678,7 @@ def q_quality_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc quality signals (C4/Gopher-rule inputs)."""
     from entity_matchers_spark.operators.text_analysis import quality_features
 
-    return quality_features(_read(spark, sf_dir, "documents")).select(
+    return quality_features(_docs(spark, sf_dir)).select(
         F.col("id").alias("doc_id"), "n_chars", "n_tokens", "mean_token_len",
         "punct_ratio", "alpha_ratio", "stopword_ratio",
     )
@@ -684,7 +709,7 @@ def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Whitespace + BPE-ish subword-piece counts per document."""
     from entity_matchers_spark.operators.text_analysis import token_counts
 
-    return token_counts(_read(spark, sf_dir, "documents")).select(
+    return token_counts(_docs(spark, sf_dir)).select(
         F.col("id").alias("doc_id"), "n_ws_tokens", "n_pieces"
     )
 

@@ -38,14 +38,31 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # AQE coalescing is sized by shuffle *bytes*; compute-bound stages
+        # (pandas-UDF scoring, levenshtein over long strings) have tiny
+        # inputs but huge CPU cost — keep small shuffles wide rather than
+        # collapsing them to 1 task. At 100 TB these floors are no-ops.
+        .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
+        .config("spark.sql.files.maxPartitionBytes", "32m")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        # local mode: driver == executor — size the heap for all cores
+        # (32 threads on 8g thrash GC and flatten the core-count scaling)
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()
+
+
+def default_partitions(spark: SparkSession) -> int:
+    """Compute-stage width: total cores in local mode, defaultParallelism on
+    a cluster. Used to repartition compute-bound stages whose *data* is too
+    small for size-based planning to parallelize (scoring UDFs, verify
+    joins) — at production scale the same repartition is the shuffle the
+    stage would do anyway."""
+    return spark.sparkContext.defaultParallelism
