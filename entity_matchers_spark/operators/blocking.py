@@ -205,3 +205,48 @@ def blocking_metrics(
             "blocked_label_pairs", F.lit(hit)
         ).withColumn("pair_recall", F.lit(hit / tot if tot else None))
     return agg
+
+
+def topk_jaccard_candidates(
+    blocks_or_grams: DataFrame,
+    k: int = 5,
+    max_block_size: int = 1000,
+) -> DataFrame:
+    """Top-k gram-Jaccard neighbors per id — the scalable re-expression of
+    the reference's per-entity full-scan weighted-Jaccard blocking
+    (/root/reference/deepmatcher/notebooks/create_dataset_neighbor.py:74-135
+    compares every entity against the whole other table in a 20-process
+    pool; /root/reference/src/preprocess_datasets/
+    create_test_cross_product_truncated.py:89-147 same shape).
+
+    Input: (id, block_id) where block_id is a gram/hash key. Shared-key
+    counting via the equi-self-join (frequency-capped), Jaccard from set
+    sizes, then a row_number window keeps k neighbors per id. Pairs are
+    emitted in both directions before the window — the reference's
+    bidirectional union of reversed pairs.
+    """
+    from pyspark.sql import Window
+
+    sizes = blocks_or_grams.groupBy("id").agg(F.count("*").alias("sz"))
+    capped = cap_block_sizes(blocks_or_grams, max_block_size)
+    shared = (
+        capped.alias("l")
+        .join(capped.alias("r"), "block_id")
+        .where(F.col("l.id") != F.col("r.id"))
+        .groupBy(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
+        .agg(F.count("*").alias("shared"))
+    )
+    scored = (
+        shared.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
+        .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("shared") / (F.col("sz_a") + F.col("sz_b") - F.col("shared")).cast("double"),
+        )
+    )
+    w = Window.partitionBy("id_a").orderBy(F.col("jaccard").desc(), F.col("id_b").asc())
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+        .select("id_a", "id_b", "jaccard", "rnk")
+    )

@@ -89,3 +89,47 @@ def hits_at_k(
             (F.sum(F.when(F.col("rank") <= k, 1).otherwise(0)) / n_gold).alias(f"hits_at_{k}")
         )
     return gold_ranked.agg(*aggs)
+
+
+def assign_folds(
+    pairs: DataFrame, n_folds: int = 5, keys: tuple[str, str] = ("id_a", "id_b"), salt: str = "folds-v1"
+) -> DataFrame:
+    """Deterministic fold assignment by seeded hash of the pair — the
+    Spark-stable analog of the reference's random 70/20/10 x 5 folds
+    (/root/reference/src/preprocess_datasets/create_k_folds.py:6-31)."""
+    ka, kb = keys
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit(salt), F.col(ka).cast("string"), F.lit("|"), F.col(kb).cast("string"))), 1, 8),
+        16,
+        10,
+    ).cast("long")
+    return pairs.withColumn("fold", (h % n_folds).cast("int"))
+
+
+def kfold_prf1(
+    aligns: DataFrame,
+    truth: DataFrame,
+    n_folds: int = 5,
+    keys: tuple[str, str] = ("id_a", "id_b"),
+) -> DataFrame:
+    """Per-fold P/R/F1 (one row per fold) of the alignment restricted to
+    each fold vs the truth pairs of that fold — the reference's k-fold
+    protocol (run_experiment.py:10-53) as a single grouped query."""
+    ka, kb = keys
+    a = assign_folds(aligns.select(ka, kb).distinct(), n_folds, keys)
+    t = assign_folds(truth.select(ka, kb).distinct(), n_folds, keys)
+    joined = a.withColumn("_in_a", F.lit(1)).join(
+        t.withColumn("_in_t", F.lit(1)), [ka, kb, "fold"], "full"
+    )
+    per_fold = joined.groupBy("fold").agg(
+        F.sum(F.when(F.col("_in_a").isNotNull() & F.col("_in_t").isNotNull(), 1).otherwise(0)).alias("tp"),
+        F.sum(F.when(F.col("_in_a").isNotNull(), 1).otherwise(0)).alias("n_align"),
+        F.sum(F.when(F.col("_in_t").isNotNull(), 1).otherwise(0)).alias("n_truth"),
+    )
+    p = F.col("tp") / F.col("n_align")
+    r = F.col("tp") / F.col("n_truth")
+    return per_fold.select(
+        "fold", "tp", "n_align", "n_truth",
+        p.alias("precision"), r.alias("recall"),
+        (2 * p * r / (p + r)).alias("f1"),
+    )

@@ -89,3 +89,85 @@ def csls_rescale(scored: DataFrame, k: int = 10, score_col: str = "score") -> Da
         .withColumn("csls", 2 * F.col(score_col) - F.col("_ma") - F.col("_mb"))
         .drop("_ma", "_mb")
     )
+
+
+def greedy_weighted_matching(
+    scored: DataFrame, rounds: int = 3, score_col: str = "score"
+) -> DataFrame:
+    """Approximate max-weight bipartite matching by iterated mutual-best.
+
+    The reference's MWGM uses graph-tool/igraph exact matching
+    (/root/reference/OpenEA_Mod/src/openea/modules/bootstrapping/
+    alignment_finder.py:84-140) — driver-bound and unusable at scale. Each
+    mutual-best round locks in pairs that are each other's argmax, removes
+    their endpoints, and rescans; this is the classic distributed greedy
+    1/2-approximation and matches exact MWGM on the near-diagonal score
+    structure the pipeline produces.
+    """
+    remaining = scored
+    matched = None
+    for _ in range(rounds):
+        m = mutual_best(remaining, score_col).select("id_a", "id_b", score_col)
+        matched = m if matched is None else matched.unionByName(m)
+        remaining = remaining.join(
+            matched.select("id_a"), "id_a", "left_anti"
+        ).join(matched.select("id_b"), "id_b", "left_anti")
+    return matched
+
+
+def resolve_conflicts(
+    prev: DataFrame, new: DataFrame, score_col: str = "score"
+) -> DataFrame:
+    """BootEA's bootstrap merge (bootea.py:45-93): union previous and new
+    alignments, keep the higher-score pair per id_a
+    (``update_labeled_alignment_x``), then the higher-score pair per id_b
+    (``update_labeled_alignment_y``). Deterministic ties on partner id."""
+    merged = prev.unionByName(new)
+    per_x = best_per_side(merged, "a", score_col)
+    return best_per_side(per_x, "b", score_col)
+
+
+def bootstrap(
+    scored: DataFrame,
+    threshold: float,
+    k: int,
+    rounds: int = 2,
+    score_col: str = "score",
+) -> DataFrame:
+    """Iterative bootstrapping (bootea.py:24-42): each round thresholds the
+    scores, keeps top-k per id_a, extracts mutual-best pairs, and merges
+    them into the running alignment with x/y conflict resolution.
+
+    No model retraining here (scores are static), so the loop converges
+    once the alignment stops growing — the structural template the
+    reference's training loop plugs into. Each round is checkpointed to cut
+    lineage (the reference pickles per stage)."""
+    aligned = None
+    for _ in range(rounds):
+        cands = topk_per_id(threshold_match(scored, threshold, score_col), k, "a", score_col)
+        new = mutual_best(cands, score_col).select("id_a", "id_b", score_col)
+        aligned = new if aligned is None else resolve_conflicts(aligned, new, score_col)
+        aligned = aligned.localCheckpoint(eager=True)
+    return aligned.select("id_a", "id_b", score_col)
+
+
+def align_predicates(
+    preds1: DataFrame,
+    preds2: DataFrame,
+    threshold: float = 0.5,
+    name_col: str = "p",
+) -> DataFrame:
+    """Predicate-name alignment by Levenshtein ratio + mutual best
+    (/root/reference/OpenEA_Mod/src/openea/approaches/
+    predicate_alignmnet.py:46-72). Both sides are predicate *vocabularies*
+    (tiny) — the cross join is broadcast."""
+    from entity_matchers_spark.functions.similarity import levenshtein_ratio
+
+    a = preds1.select(F.col(name_col).alias("id_a")).distinct()
+    b = preds2.select(F.col(name_col).alias("id_b")).distinct()
+    scored = (
+        a.crossJoin(F.broadcast(b))
+        .withColumn("score", levenshtein_ratio(F.col("id_a"), F.col("id_b")))
+        .where(F.col("score") >= threshold)
+    )
+    return mutual_best(scored)

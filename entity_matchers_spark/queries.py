@@ -843,6 +843,771 @@ FROM stats
 
 # ---------------------------------------------------------------------------
 
+
+
+
+# --- KG triple operators (SURVEY.md §2.2) over derived TPC-H-ish graphs ------
+# Deterministic triple/link tables derived from customer/supplier/nation so
+# every operator has a DuckDB-verifiable oracle on the fixed parquet views.
+
+_KG_SQL_CTES = """
+  t1 AS (
+    SELECT 'cust_' || c_custkey AS h, 'in_nation' AS r,
+           'nation_' || c_nationkey AS t
+    FROM customer
+  ),
+  t2 AS (
+    SELECT 'supp_' || s_suppkey AS h, 'in_nation' AS r,
+           'nation_' || s_nationkey AS t
+    FROM supplier
+  ),
+  l0 AS (
+    SELECT 'cust_' || c_custkey AS e1, 'supp_' || c_custkey AS e2
+    FROM customer WHERE c_custkey % 2 = 0
+    UNION ALL
+    SELECT 'nation_' || n_nationkey, 'nation_' || n_nationkey
+    FROM nation WHERE n_nationkey < 15
+  )
+"""
+
+
+def _kg_spark(spark: SparkSession, sf_dir: str):
+    cust = _read(spark, sf_dir, "customer")
+    supp = _read(spark, sf_dir, "supplier")
+    nat = _read(spark, sf_dir, "nation")
+    t1 = cust.select(
+        F.concat(F.lit("cust_"), "c_custkey").alias("h"),
+        F.lit("in_nation").alias("r"),
+        F.concat(F.lit("nation_"), "c_nationkey").alias("t"),
+    )
+    t2 = supp.select(
+        F.concat(F.lit("supp_"), "s_suppkey").alias("h"),
+        F.lit("in_nation").alias("r"),
+        F.concat(F.lit("nation_"), "s_nationkey").alias("t"),
+    )
+    links = (
+        cust.where(F.col("c_custkey") % 2 == 0)
+        .select(
+            F.concat(F.lit("cust_"), "c_custkey").alias("e1"),
+            F.concat(F.lit("supp_"), "c_custkey").alias("e2"),
+        )
+        .unionAll(
+            nat.where(F.col("n_nationkey") < 15).select(
+                F.concat(F.lit("nation_"), "n_nationkey").alias("e1"),
+                F.concat(F.lit("nation_"), "n_nationkey").alias("e2"),
+            )
+        )
+    )
+    return t1, t2, links
+
+
+def q_triples_parse_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Subject/predicate/object distinct projections (kg.py:2-20) as a
+    one-row stats query."""
+    from entity_matchers_spark.operators.triples import parse_triples
+
+    t1, _t2, _l = _kg_spark(spark, sf_dir)
+    s, p, o = parse_triples(t1)
+    return (
+        s.agg(F.count("*").alias("n_subjects"))
+        .crossJoin(p.agg(F.count("*").alias("n_predicates")))
+        .crossJoin(o.agg(F.count("*").alias("n_objects")))
+    )
+
+
+Q_TRIPLES_PARSE_SQL = f"""
+WITH {_KG_SQL_CTES}
+SELECT (SELECT count(DISTINCT h) FROM t1) AS n_subjects,
+       (SELECT count(DISTINCT r) FROM t1) AS n_predicates,
+       (SELECT count(DISTINCT t) FROM t1) AS n_objects
+"""
+
+
+def q_triples_remove_unlinked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep KG1 triples with both endpoints in the linked-entity set
+    (kgs.py:250-261) — two left-semi joins."""
+    from entity_matchers_spark.operators.triples import remove_unlinked_triples
+
+    t1, _t2, links = _kg_spark(spark, sf_dir)
+    ents = links.select(F.col("e1").alias("e"))
+    return remove_unlinked_triples(t1, ents)
+
+
+Q_TRIPLES_REMOVE_UNLINKED_SQL = f"""
+WITH {_KG_SQL_CTES},
+  e1s AS (SELECT DISTINCT e1 AS e FROM l0)
+SELECT h, r, t FROM t1
+WHERE h IN (SELECT e FROM e1s) AND t IN (SELECT e FROM e1s)
+"""
+
+
+def _links_fixpoint_sql(rounds: int) -> str:
+    parts = [f"WITH {_KG_SQL_CTES}"]
+    prev = "0"
+    for i in range(1, rounds + 1):
+        parts.append(
+            f""",
+  e1_{i} AS (SELECT DISTINCT e1 AS e FROM l{prev}),
+  e2_{i} AS (SELECT DISTINCT e2 AS e FROM l{prev}),
+  t1_{i} AS (SELECT * FROM t1{'' if i == 1 else f'_{i-1}'}
+             WHERE h IN (SELECT e FROM e1_{i}) AND t IN (SELECT e FROM e1_{i})),
+  t2_{i} AS (SELECT * FROM t2{'' if i == 1 else f'_{i-1}'}
+             WHERE h IN (SELECT e FROM e2_{i}) AND t IN (SELECT e FROM e2_{i})),
+  ents1_{i} AS (SELECT h AS e FROM t1_{i} UNION SELECT t FROM t1_{i}),
+  ents2_{i} AS (SELECT h AS e FROM t2_{i} UNION SELECT t FROM t2_{i}),
+  l{i} AS (SELECT * FROM l{prev}
+           WHERE e1 IN (SELECT e FROM ents1_{i}) AND e2 IN (SELECT e FROM ents2_{i}))"""
+        )
+        prev = str(i)
+    parts.append(f"\nSELECT e1, e2 FROM l{prev}")
+    return "".join(parts)
+
+
+def q_links_fixpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Alternating prune of unlinked triples / triple-less links
+    (kgs.py:205-247), unrolled to 3 rounds so the oracle computes the
+    identical plan (convergence typically happens in 2)."""
+    from entity_matchers_spark.operators.triples import prune_links_and_triples
+
+    t1, t2, links = _kg_spark(spark, sf_dir)
+    out, _t1, _t2 = prune_links_and_triples(links, t1, t2, fixed_iterations=3)
+    return out.select("e1", "e2")
+
+
+Q_LINKS_FIXPOINT_SQL = _links_fixpoint_sql(3)
+
+
+def q_literal_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Literal normalization (rdgcn.py:108-148): strip quotes/@lang/^^type
+    from decorated literals derived from part."""
+    from entity_matchers_spark.operators.triples import clean_literal, has_numbers
+
+    part = _read(spark, sf_dir, "part")
+    lit = (
+        F.when(F.col("p_partkey") % 3 == 0, F.concat(F.lit('"'), "p_name", F.lit('"@en')))
+        .when(F.col("p_partkey") % 3 == 1, F.concat(F.lit('"'), "p_type", F.lit('"^^<xsd:string>')))
+        .otherwise(F.col("p_brand"))
+    )
+    df = part.select(F.col("p_partkey").alias("ent"), lit.alias("raw"))
+    return df.select(
+        "ent", "raw", clean_literal("raw").alias("clean"),
+        has_numbers(clean_literal("raw")).alias("numeric"),
+    )
+
+
+Q_LITERAL_CLEAN_SQL = r"""
+WITH d AS (
+  SELECT p_partkey AS ent,
+         CASE WHEN p_partkey % 3 = 0 THEN '"' || p_name || '"@en'
+              WHEN p_partkey % 3 = 1 THEN '"' || p_type || '"^^<xsd:string>'
+              ELSE p_brand END AS raw
+  FROM part
+),
+c AS (
+  SELECT ent, raw,
+         trim(regexp_replace(
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(raw, '\^\^.*$', ''),
+               '@[a-zA-Z-]+$', ''),
+             '^"|"$', '', 'g'),
+           '\s+', ' ', 'g')) AS clean
+  FROM d
+)
+SELECT ent, raw, clean, regexp_matches(clean, '[0-9]') AS numeric FROM c
+"""
+
+
+def q_name_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Priority pick of the best name literal per entity
+    (create_dataset_deepmatchers.py:53-142): name > brand > type."""
+    from entity_matchers_spark.operators.triples import select_name_attribute
+
+    part = _read(spark, sf_dir, "part")
+    attrs = (
+        part.select(F.col("p_partkey").cast("string").alias("ent"), F.lit("name").alias("attr"), F.col("p_name").alias("value"))
+        .unionAll(part.where(F.col("p_partkey") % 2 == 0).select(F.col("p_partkey").cast("string"), F.lit("brand"), F.col("p_brand")))
+        .unionAll(part.select(F.col("p_partkey").cast("string"), F.lit("type"), F.col("p_type")))
+    )
+    # drop 'name' rows for odd keys so the priority fallback is exercised
+    attrs = attrs.where(~((F.col("attr") == "name") & (F.col("ent").cast("long") % 3 == 0)))
+    return select_name_attribute(attrs, {"name": 1, "brand": 2, "type": 3})
+
+
+Q_NAME_SELECTION_SQL = """
+WITH attrs AS (
+  SELECT p_partkey::VARCHAR AS ent, 'name' AS attr, p_name AS value FROM part
+  UNION ALL
+  SELECT p_partkey::VARCHAR, 'brand', p_brand FROM part WHERE p_partkey % 2 = 0
+  UNION ALL
+  SELECT p_partkey::VARCHAR, 'type', p_type FROM part
+),
+filtered AS (
+  SELECT * FROM attrs WHERE NOT (attr = 'name' AND ent::BIGINT % 3 = 0)
+),
+ranked AS (
+  SELECT ent, value,
+         row_number() OVER (
+           PARTITION BY ent
+           ORDER BY CASE attr WHEN 'name' THEN 1 WHEN 'brand' THEN 2 ELSE 3 END, value
+         ) AS rn
+  FROM filtered
+)
+SELECT ent, value AS name FROM ranked WHERE rn = 1
+"""
+
+
+def q_triples_anonymize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic entity anonymization (anonymize_dataset.py:6-101 with
+    seeded hash instead of random ids)."""
+    from entity_matchers_spark.operators.triples import anonymize_entities
+
+    t1, _t2, _l = _kg_spark(spark, sf_dir)
+    return anonymize_entities(t1, side="L", salt="anon-v1")
+
+
+Q_TRIPLES_ANONYMIZE_SQL = f"""
+WITH {_KG_SQL_CTES}
+SELECT 'L' || substr(md5('anon-v1' || h), 1, 12) AS h, r,
+       'L' || substr(md5('anon-v1' || t), 1, 12) AS t
+FROM t1
+"""
+
+
+def q_uri_local_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URI-tail local-name extraction (rdgcn.py:529-532) — the name
+    fallback / URL-key primitive."""
+    from entity_matchers_spark.operators.triples import uri_local_name
+
+    supp = _read(spark, sf_dir, "supplier")
+    uris = supp.select(
+        F.col("s_suppkey").alias("id"),
+        F.concat(F.lit("http://ex.org/sup/"), F.translate("s_name", " ", "_")).alias("uri"),
+    )
+    return uris.select("id", "uri", uri_local_name("uri").alias("local_name"))
+
+
+Q_URI_LOCAL_NAMES_SQL = """
+SELECT s_suppkey AS id,
+       'http://ex.org/sup/' || replace(s_name, ' ', '_') AS uri,
+       replace(regexp_extract('http://ex.org/sup/' || replace(s_name, ' ', '_'),
+                              '([^/#]+)$', 1), '_', ' ') AS local_name
+FROM supplier
+"""
+
+
+
+
+# --- matching / evaluation extensions (SURVEY.md §2.5-2.6) -------------------
+
+_BEST_A_CTE = """
+  best_a AS (
+    SELECT id_a, id_b FROM (
+      SELECT id_a, id_b,
+             row_number() OVER (PARTITION BY id_a ORDER BY score DESC, id_b ASC) AS rn
+      FROM {src}) WHERE rn = 1
+  )"""
+
+
+def q_er_greedy_alignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy argmax alignment per left id (alignment.py:13-89)."""
+    scored = _er_spark_scores(spark, sf_dir)
+    return matching.best_per_side(scored, "a").select("id_a", "id_b", "score")
+
+
+Q_ER_GREEDY_SQL = (
+    f"WITH {_er_blocks_sql()}, {_er_pairs_sql()}, {_er_scores_sql()}"
+    """
+SELECT id_a, id_b, score FROM (
+  SELECT id_a, id_b, score,
+         row_number() OVER (PARTITION BY id_a ORDER BY score DESC, id_b ASC) AS rn
+  FROM final_scored) WHERE rn = 1
+"""
+)
+
+
+def q_er_threshold_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Threshold + top-k candidate filter (alignment_finder.py:28-77)."""
+    scored = _er_spark_scores(spark, sf_dir)
+    return matching.topk_per_id(
+        matching.threshold_match(scored, 0.5), 5, "a"
+    ).select("id_a", "id_b", "score")
+
+
+Q_ER_THRESHOLD_TOPK_SQL = (
+    f"WITH {_er_blocks_sql()}, {_er_pairs_sql()}, {_er_scores_sql()}"
+    """
+SELECT id_a, id_b, score FROM (
+  SELECT id_a, id_b, score,
+         row_number() OVER (PARTITION BY id_a ORDER BY score DESC, id_b ASC) AS rn
+  FROM final_scored WHERE score >= 0.5) WHERE rn <= 5
+"""
+)
+
+
+def q_er_hits_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking diagnostics hits@k / MR / MRR (alignment.py:151-177) vs the
+    derived truth set (jac3 >= 0.55)."""
+    from entity_matchers_spark.operators.evaluation import hits_at_k
+
+    scored = _er_spark_scores(spark, sf_dir)
+    truth = scored.where(F.col("jac3") >= 0.55).select("id_a", "id_b")
+    out = hits_at_k(scored, truth, ks=(1, 5, 10))
+    return out.select(
+        "n_gold", F.round("mr", 6).alias("mr"), F.round("mrr", 6).alias("mrr"),
+        F.round("hits_at_1", 6).alias("hits_at_1"),
+        F.round("hits_at_5", 6).alias("hits_at_5"),
+        F.round("hits_at_10", 6).alias("hits_at_10"),
+    )
+
+
+Q_ER_HITS_SQL = (
+    f"WITH {_er_blocks_sql()}, {_er_pairs_sql()}, {_er_scores_sql()}, "
+    """
+  ranked AS (
+    SELECT id_a, id_b,
+           row_number() OVER (PARTITION BY id_a ORDER BY score DESC, id_b ASC) AS rank
+    FROM final_scored
+  ),
+  truth AS (SELECT id_a, id_b FROM final_scored WHERE jac3 >= 0.55),
+  gold_ranked AS (
+    SELECT r.rank FROM truth LEFT JOIN ranked r USING (id_a, id_b)
+  )
+SELECT count(*) AS n_gold,
+       round(avg(rank), 6) AS mr,
+       round(avg(1.0 / rank), 6) AS mrr,
+       round(sum(CASE WHEN rank <= 1 THEN 1 ELSE 0 END) / count(*)::DOUBLE, 6) AS hits_at_1,
+       round(sum(CASE WHEN rank <= 5 THEN 1 ELSE 0 END) / count(*)::DOUBLE, 6) AS hits_at_5,
+       round(sum(CASE WHEN rank <= 10 THEN 1 ELSE 0 END) / count(*)::DOUBLE, 6) AS hits_at_10
+FROM gold_ranked
+"""
+)
+
+
+def q_er_mwgm_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate max-weight bipartite matching: 3 rounds of iterated
+    mutual-best (the scalable stand-in for alignment_finder.py:84-140)."""
+    scored = _er_spark_scores(spark, sf_dir)
+    return matching.greedy_weighted_matching(scored, rounds=3).select("id_a", "id_b", "score")
+
+
+def _mwgm_sql(rounds: int) -> str:
+    parts = [f"WITH {_er_blocks_sql()}, {_er_pairs_sql()}, {_er_scores_sql()}"]
+    prev = "final_scored"
+    matched: list[str] = []
+    for i in range(1, rounds + 1):
+        parts.append(f""",
+  ba_{i} AS (SELECT id_a, id_b FROM (
+    SELECT id_a, id_b, row_number() OVER (PARTITION BY id_a ORDER BY score DESC, id_b ASC) AS rn
+    FROM {prev}) WHERE rn = 1),
+  bb_{i} AS (SELECT id_a, id_b FROM (
+    SELECT id_a, id_b, row_number() OVER (PARTITION BY id_b ORDER BY score DESC, id_a ASC) AS rn
+    FROM {prev}) WHERE rn = 1),
+  m_{i} AS (SELECT s.id_a, s.id_b, s.score FROM {prev} s
+            JOIN ba_{i} USING (id_a, id_b) JOIN bb_{i} USING (id_a, id_b)),
+  mm_{i} AS ({' UNION ALL '.join(f'SELECT * FROM m_{j}' for j in range(1, i + 1))}),
+  r_{i} AS (SELECT * FROM {prev}
+            WHERE id_a NOT IN (SELECT id_a FROM mm_{i})
+              AND id_b NOT IN (SELECT id_b FROM mm_{i}))""")
+        matched.append(f"m_{i}")
+        prev = f"r_{i}"
+    parts.append("\nSELECT id_a, id_b, score FROM (" + " UNION ALL ".join(
+        f"SELECT * FROM {m}" for m in matched) + ")")
+    return "".join(parts)
+
+
+Q_ER_MWGM_SQL = _mwgm_sql(3)
+
+
+def q_er_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bootstrapping template (bootea.py:24-42): threshold + top-k →
+    mutual best → x/y conflict-resolved merge, 2 rounds."""
+    scored = _er_spark_scores(spark, sf_dir)
+    return matching.bootstrap(scored, threshold=0.5, k=10, rounds=2)
+
+
+Q_ER_BOOTSTRAP_SQL = (
+    f"WITH {_er_blocks_sql()}, {_er_pairs_sql()}, {_er_scores_sql()}, "
+    """
+  cands AS (
+    SELECT id_a, id_b, score FROM (
+      SELECT id_a, id_b, score,
+             row_number() OVER (PARTITION BY id_a ORDER BY score DESC, id_b ASC) AS rn
+      FROM final_scored WHERE score >= 0.5) WHERE rn <= 10
+  ),
+  ba AS (SELECT id_a, id_b FROM (
+    SELECT id_a, id_b, row_number() OVER (PARTITION BY id_a ORDER BY score DESC, id_b ASC) AS rn
+    FROM cands) WHERE rn = 1),
+  bb AS (SELECT id_a, id_b FROM (
+    SELECT id_a, id_b, row_number() OVER (PARTITION BY id_b ORDER BY score DESC, id_a ASC) AS rn
+    FROM cands) WHERE rn = 1),
+  m1 AS (SELECT c.id_a, c.id_b, c.score FROM cands c
+         JOIN ba USING (id_a, id_b) JOIN bb USING (id_a, id_b)),
+  -- round 2 over static scores reproduces m1; conflict resolution is
+  -- rn=1 per id_a then per id_b over the union (x/y merge, bootea.py:45-93)
+  merged AS (SELECT * FROM m1 UNION ALL SELECT * FROM m1),
+  px AS (SELECT id_a, id_b, score FROM (
+    SELECT id_a, id_b, score, row_number() OVER (PARTITION BY id_a ORDER BY score DESC, id_b ASC) AS rn
+    FROM merged) WHERE rn = 1)
+SELECT id_a, id_b, score FROM (
+  SELECT id_a, id_b, score, row_number() OVER (PARTITION BY id_b ORDER BY score DESC, id_a ASC) AS rn
+  FROM px) WHERE rn = 1
+"""
+)
+
+
+def q_predicate_alignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Predicate-vocabulary alignment by Levenshtein-ratio mutual best
+    (predicate_alignmnet.py:46-72) over two fixed schema vocabularies."""
+    v1 = spark.createDataFrame([("name",), ("brand",), ("type",), ("comment",)], "p string")
+    v2 = spark.createDataFrame([("names",), ("brands",), ("kind",), ("commentary",), ("price",)], "p string")
+    return matching.align_predicates(v1, v2, threshold=0.5).select(
+        "id_a", "id_b", F.round("score", 9).alias("score")
+    )
+
+
+Q_PREDICATE_ALIGN_SQL = """
+WITH v1(p) AS (VALUES ('name'), ('brand'), ('type'), ('comment')),
+v2(p) AS (VALUES ('names'), ('brands'), ('kind'), ('commentary'), ('price')),
+scored AS (
+  SELECT v1.p AS id_a, v2.p AS id_b,
+         round(CASE WHEN greatest(len(v1.p), len(v2.p)) = 0 THEN 1.0
+              ELSE 1.0 - levenshtein(v1.p, v2.p) / greatest(len(v1.p), len(v2.p))::DOUBLE END, 9) AS score
+  FROM v1 CROSS JOIN v2
+),
+thr AS (SELECT * FROM scored WHERE score >= 0.5),
+ba AS (SELECT id_a, id_b FROM (
+  SELECT id_a, id_b, row_number() OVER (PARTITION BY id_a ORDER BY score DESC, id_b ASC) AS rn
+  FROM thr) WHERE rn = 1),
+bb AS (SELECT id_a, id_b FROM (
+  SELECT id_a, id_b, row_number() OVER (PARTITION BY id_b ORDER BY score DESC, id_a ASC) AS rn
+  FROM thr) WHERE rn = 1)
+SELECT t.id_a, t.id_b, t.score FROM thr t
+JOIN ba USING (id_a, id_b) JOIN bb USING (id_a, id_b)
+"""
+
+
+def q_er_kfold_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-fold P/R/F1 of the mutual-best alignment vs derived truth — the
+    reference's 5-fold protocol (run_experiment.py:10-53) as one query."""
+    from entity_matchers_spark.operators.evaluation import kfold_prf1
+
+    scored = _er_spark_scores(spark, sf_dir)
+    aligns = matching.mutual_best(scored).select("id_a", "id_b")
+    truth = scored.where(F.col("jac3") >= 0.55).select("id_a", "id_b")
+    out = kfold_prf1(aligns, truth, n_folds=5)
+    return out.select(
+        "fold", "tp", "n_align", "n_truth",
+        F.round("precision", 6).alias("precision"),
+        F.round("recall", 6).alias("recall"),
+        F.round("f1", 6).alias("f1"),
+    )
+
+
+Q_ER_KFOLD_SQL = (
+    f"WITH {_er_blocks_sql()}, {_er_pairs_sql()}, {_er_scores_sql()}, "
+    """
+  best_a AS (SELECT id_a, id_b FROM (
+    SELECT id_a, id_b, row_number() OVER (PARTITION BY id_a ORDER BY score DESC, id_b ASC) AS rn
+    FROM final_scored) WHERE rn = 1),
+  best_b AS (SELECT id_a, id_b FROM (
+    SELECT id_a, id_b, row_number() OVER (PARTITION BY id_b ORDER BY score DESC, id_a ASC) AS rn
+    FROM final_scored) WHERE rn = 1),
+  aligns AS (
+    SELECT s.id_a, s.id_b,
+           (('0x' || substr(md5('folds-v1' || s.id_a::VARCHAR || '|' || s.id_b::VARCHAR), 1, 8))::UBIGINT::BIGINT % 5)::INT AS fold
+    FROM final_scored s JOIN best_a USING (id_a, id_b) JOIN best_b USING (id_a, id_b)
+  ),
+  truth AS (
+    SELECT id_a, id_b,
+           (('0x' || substr(md5('folds-v1' || id_a::VARCHAR || '|' || id_b::VARCHAR), 1, 8))::UBIGINT::BIGINT % 5)::INT AS fold
+    FROM final_scored WHERE jac3 >= 0.55
+  ),
+  j AS (
+    SELECT coalesce(a.fold, t.fold) AS fold,
+           CASE WHEN a.id_a IS NOT NULL THEN 1 ELSE 0 END AS in_a,
+           CASE WHEN t.id_a IS NOT NULL THEN 1 ELSE 0 END AS in_t
+    FROM aligns a FULL JOIN truth t
+      ON a.id_a = t.id_a AND a.id_b = t.id_b AND a.fold = t.fold
+  ),
+  per_fold AS (
+    SELECT fold, sum(CASE WHEN in_a = 1 AND in_t = 1 THEN 1 ELSE 0 END) AS tp,
+           sum(in_a) AS n_align, sum(in_t) AS n_truth
+    FROM j GROUP BY fold
+  )
+SELECT fold, tp, n_align, n_truth,
+       round(tp / n_align::DOUBLE, 6) AS precision,
+       round(tp / n_truth::DOUBLE, 6) AS recall,
+       round(2 * (tp / n_align::DOUBLE) * (tp / n_truth::DOUBLE)
+             / ((tp / n_align::DOUBLE) + (tp / n_truth::DOUBLE)), 6) AS f1
+FROM per_fold
+"""
+)
+
+
+def q_imuse_attr_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IMUSE attribute-overlap entity scoring (imuse.py:42-66): candidate
+    pairs blocked on brand, scored by mean Levenshtein ratio over aligned
+    attribute values (name, type), thresholded."""
+    from entity_matchers_spark.functions.similarity import levenshtein_ratio
+
+    part = _read(spark, sf_dir, "part")
+    p = part.select(
+        F.col("p_partkey").alias("id"), F.col("p_brand").alias("brand"),
+        F.col("p_name").alias("name"), F.col("p_type").alias("type"),
+    )
+    a = p.select(F.col("id").alias("id_a"), "brand", F.col("name").alias("name_a"), F.col("type").alias("type_a"))
+    b = p.select(F.col("id").alias("id_b"), "brand", F.col("name").alias("name_b"), F.col("type").alias("type_b"))
+    pairs = a.join(b, "brand").where(F.col("id_a") < F.col("id_b"))
+    score = (levenshtein_ratio("name_a", "name_b") + levenshtein_ratio("type_a", "type_b")) / 2
+    return (
+        pairs.withColumn("score", F.round(score, 9))
+        .where(F.col("score") >= 0.6)
+        .select("id_a", "id_b", "score")
+    )
+
+
+Q_IMUSE_SQL = """
+WITH p AS (SELECT p_partkey AS id, p_brand AS brand, p_name AS name, p_type AS type FROM part),
+pairs AS (
+  SELECT a.id AS id_a, b.id AS id_b, a.name AS name_a, b.name AS name_b,
+         a.type AS type_a, b.type AS type_b
+  FROM p a JOIN p b ON a.brand = b.brand AND a.id < b.id
+),
+scored AS (
+  SELECT id_a, id_b,
+    round(((CASE WHEN greatest(len(name_a), len(name_b)) = 0 THEN 1.0
+          ELSE 1.0 - levenshtein(name_a, name_b) / greatest(len(name_a), len(name_b))::DOUBLE END)
+     + (CASE WHEN greatest(len(type_a), len(type_b)) = 0 THEN 1.0
+          ELSE 1.0 - levenshtein(type_a, type_b) / greatest(len(type_a), len(type_b))::DOUBLE END)) / 2, 9) AS score
+  FROM pairs
+)
+SELECT id_a, id_b, score FROM scored WHERE score >= 0.6
+"""
+
+
+
+
+# --- streaming (batch-parity), multimodal, graph, blocking audit -------------
+
+
+def q_stream_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming tumbling-window counts run to completion with
+    Trigger.AvailableNow over the static events parquet — output must equal
+    the batch GROUP BY (the oracle). Complete output mode so the final
+    window is emitted even though the watermark never passes it."""
+    from entity_matchers_spark.streaming.events import run_stream_to_df, windowed_event_counts
+
+    out = run_stream_to_df(
+        spark, f"{sf_dir}/events.parquet", windowed_event_counts, output_mode="complete"
+    )
+    return out.select(
+        "window_start", "event_type", "n_events", F.round("sum_value", 6).alias("sum_value")
+    )
+
+
+Q_STREAM_WINDOWED_SQL = """
+SELECT date_trunc('hour', ts) AS window_start, event_type,
+       count(*) AS n_events, round(sum(value), 6) AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+
+def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exactly-once dedup on event_id (watermark-bounded state),
+    run with AvailableNow; event ids are unique so parity with the batch
+    table is exact and deterministic."""
+    from entity_matchers_spark.streaming.events import run_stream_to_df, stream_dedup
+
+    out = run_stream_to_df(spark, f"{sf_dir}/events.parquet", stream_dedup, output_mode="append")
+    return out.select("event_id", "user_id", "event_type", "value")
+
+
+Q_STREAM_DEDUP_SQL = "SELECT event_id, user_id, event_type, value FROM events"
+
+
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity) via grouped
+    applyInPandas — the deterministic batch semantics of the
+    applyInPandasWithState streaming operator; oracle is the lag/gap-islands
+    SQL."""
+    from entity_matchers_spark.streaming.events import sessionize
+
+    ev = _read(spark, sf_dir, "events")
+    out = sessionize(ev, gap_minutes=30)
+    return out.select(
+        "user_id", "session_start", "session_end", "n_events",
+        F.round("sum_value", 6).alias("sum_value"),
+    )
+
+
+Q_SESSIONIZE_SQL = """
+WITH o AS (
+  SELECT user_id, ts, event_id, value,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   <= INTERVAL 30 MINUTE THEN 0 ELSE 1 END AS new_s
+  FROM events
+),
+s AS (
+  SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS sid
+  FROM o
+)
+SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+       count(*) AS n_events, round(sum(value), 6) AS sum_value
+FROM s GROUP BY user_id, sid
+"""
+
+
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-payload feature plumbing: documents as opaque media payloads →
+    mapInPandas deterministic feature extraction (decode stubbed; schema,
+    batching, payload pruning real). Feature dims emitted as columns so the
+    oracle compares scalar-for-scalar."""
+    from entity_matchers_spark.operators.multimodal import (
+        extract_media_features,
+        media_from_documents,
+    )
+
+    media = media_from_documents(_docs(spark, sf_dir))
+    feats = extract_media_features(media)
+    cols = [F.round(F.element_at("feature", i + 1), 9).alias(f"f{i}") for i in range(4)]
+    return feats.select("media_id", "mime", "n_bytes", "digest", *cols)
+
+
+Q_MULTIMODAL_SQL = """
+SELECT doc_id AS media_id, 'text/plain' AS mime,
+       octet_length(encode(text)) AS n_bytes, md5(text) AS digest,
+       round(('0x' || substr(md5(text), 1, 2))::INT / 255.0, 9) AS f0,
+       round(('0x' || substr(md5(text), 3, 2))::INT / 255.0, 9) AS f1,
+       round(('0x' || substr(md5(text), 5, 2))::INT / 255.0, 9) AS f2,
+       round(('0x' || substr(md5(text), 7, 2))::INT / 255.0, 9) AS f3
+FROM documents
+"""
+
+
+_PR_EDGES_SQL = """
+  edges AS (
+    SELECT DISTINCT 'cust_' || c_custkey AS src, 'nation_' || c_nationkey AS dst FROM customer
+    UNION
+    SELECT DISTINCT 'supp_' || s_suppkey, 'nation_' || s_nationkey FROM supplier
+    UNION
+    SELECT DISTINCT 'nation_' || n_nationkey, 'region_' || n_regionkey FROM nation
+  ),
+  nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+  nn AS (SELECT count(*)::DOUBLE AS n FROM nodes),
+  deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src)
+"""
+
+
+def _pagerank_sql(iterations: int, damping: float = 0.85) -> str:
+    parts = [f"WITH {_PR_EDGES_SQL},\n  pr_0 AS (SELECT node, 1.0 / nn.n AS pr FROM nodes, nn)"]
+    for i in range(1, iterations + 1):
+        parts.append(f""",
+  c_{i} AS (
+    SELECT e.dst AS node, sum(p.pr / deg.deg) AS mass
+    FROM edges e JOIN deg ON e.src = deg.src JOIN pr_{i-1} p ON e.src = p.node
+    GROUP BY e.dst
+  ),
+  pr_{i} AS (
+    SELECT nodes.node,
+           (1.0 - {damping}) / nn.n + {damping} * coalesce(c_{i}.mass, 0.0) AS pr
+    FROM nodes CROSS JOIN nn LEFT JOIN c_{i} ON nodes.node = c_{i}.node
+  )""")
+    parts.append(f"\nSELECT node, round(pr, 9) AS pr FROM pr_{iterations}")
+    return "".join(parts)
+
+
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative DataFrame PageRank (entity_pagerank.py:4-60 semantics,
+    d=0.85) over the cust/supp->nation->region graph, 5 fixed rounds."""
+    from entity_matchers_spark.operators.graph import pagerank
+
+    cust = _read(spark, sf_dir, "customer")
+    supp = _read(spark, sf_dir, "supplier")
+    nat = _read(spark, sf_dir, "nation")
+    edges = (
+        cust.select(F.concat(F.lit("cust_"), "c_custkey").alias("src"),
+                    F.concat(F.lit("nation_"), "c_nationkey").alias("dst"))
+        .unionAll(supp.select(F.concat(F.lit("supp_"), "s_suppkey"),
+                              F.concat(F.lit("nation_"), "s_nationkey")))
+        .unionAll(nat.select(F.concat(F.lit("nation_"), "n_nationkey"),
+                             F.concat(F.lit("region_"), "n_regionkey")))
+    )
+    pr = pagerank(edges, damping=0.85, iterations=5)
+    return pr.select("node", F.round("pr", 9).alias("pr"))
+
+
+Q_PAGERANK_SQL = _pagerank_sql(5)
+
+
+def q_topk_jaccard_blocking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k gram-Jaccard neighbor blocking (create_dataset_neighbor.py
+    semantics as a window over the shared-gram join)."""
+    from entity_matchers_spark.operators.blocking import topk_jaccard_candidates
+
+    docs = _docs(spark, sf_dir)
+    grams = docs.select(
+        F.col("doc_id").alias("id"),
+        F.explode(hashed_shingles(F.lower(F.substring("text", 1, 300)))).alias("block_id"),
+    )
+    out = topk_jaccard_candidates(grams, k=5, max_block_size=1_000_000)
+    return out.select("id_a", "id_b", F.round("jaccard", 9).alias("jaccard"), "rnk")
+
+
+Q_TOPK_JACCARD_SQL = """
+WITH g AS (
+  SELECT doc_id AS id,
+         list_distinct([('0x'||substr(md5(substr(t, i, 3)),1,8))::UBIGINT::BIGINT
+                        for i in range(1, len(t)-1)]) AS grams
+  FROM (SELECT doc_id, lower(substr(text, 1, 300)) AS t FROM documents)
+),
+e AS (SELECT id, unnest(grams) AS gr FROM g),
+shared AS (
+  SELECT l.id AS id_a, r.id AS id_b, count(*) AS shared
+  FROM e l JOIN e r ON l.gr = r.gr AND l.id != r.id
+  GROUP BY l.id, r.id
+),
+sz AS (SELECT id, len(grams) AS sz FROM g),
+scored AS (
+  SELECT id_a, id_b,
+         shared / (sa.sz + sb.sz - shared)::DOUBLE AS jaccard
+  FROM shared JOIN sz sa ON shared.id_a = sa.id JOIN sz sb ON shared.id_b = sb.id
+)
+SELECT id_a, id_b, round(jaccard, 9) AS jaccard, rnk FROM (
+  SELECT id_a, id_b, jaccard,
+         row_number() OVER (PARTITION BY id_a ORDER BY jaccard DESC, id_b ASC) AS rnk
+  FROM scored) WHERE rnk <= 5
+"""
+
+
+def q_blocking_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocking audit metrics (the ES stats.csv analog, README.md:380-383):
+    block count, key mass, hot-block mass, quadratic pair budget."""
+    from entity_matchers_spark.operators.blocking import blocking_metrics
+
+    blocks = _er_spark_blocks(spark, sf_dir)
+    out = blocking_metrics(blocks, max_block_size=ER_CAP)
+    return out.select(
+        "num_blocks", "total_keys", "max_block", "capped_keys",
+        F.round("pair_budget", 1).alias("pair_budget"),
+    )
+
+
+Q_BLOCKING_AUDIT_SQL = (
+    f"WITH {_er_blocks_sql()}, "
+    f"""
+  sizes AS (SELECT block_id, count(*) AS n FROM blocks GROUP BY block_id)
+SELECT count(*) AS num_blocks, sum(n) AS total_keys, max(n) AS max_block,
+       sum(CASE WHEN n > {ER_CAP} THEN n ELSE 0 END) AS capped_keys,
+       round(sum(n * (n - 1) / 2.0), 1) AS pair_budget
+FROM sizes
+"""
+)
+
+
+# ---------------------------------------------------------------------------
+
 QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "pricing_summary": (q_pricing_summary, Q_PRICING_SQL),
     "top_revenue_orders": (q_top_revenue_orders, Q_TOP_REVENUE_SQL),
@@ -867,4 +1632,26 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "token_counts": (q_token_counts, Q_TOKEN_COUNTS_SQL),
     "ann_cosine_topk": (q_ann_cosine_topk, Q_ANN_COSINE_SQL),
     "ann_lsh_topk": (q_ann_lsh_topk, None),
+    "triples_parse_stats": (q_triples_parse_stats, Q_TRIPLES_PARSE_SQL),
+    "triples_remove_unlinked": (q_triples_remove_unlinked, Q_TRIPLES_REMOVE_UNLINKED_SQL),
+    "links_fixpoint": (q_links_fixpoint, Q_LINKS_FIXPOINT_SQL),
+    "literal_clean": (q_literal_clean, Q_LITERAL_CLEAN_SQL),
+    "name_selection": (q_name_selection, Q_NAME_SELECTION_SQL),
+    "triples_anonymize": (q_triples_anonymize, Q_TRIPLES_ANONYMIZE_SQL),
+    "uri_local_names": (q_uri_local_names, Q_URI_LOCAL_NAMES_SQL),
+    "er_greedy_alignment": (q_er_greedy_alignment, Q_ER_GREEDY_SQL),
+    "er_threshold_topk": (q_er_threshold_topk, Q_ER_THRESHOLD_TOPK_SQL),
+    "er_hits_at_k": (q_er_hits_at_k, Q_ER_HITS_SQL),
+    "er_mwgm_greedy": (q_er_mwgm_greedy, Q_ER_MWGM_SQL),
+    "er_bootstrap": (q_er_bootstrap, Q_ER_BOOTSTRAP_SQL),
+    "predicate_alignment": (q_predicate_alignment, Q_PREDICATE_ALIGN_SQL),
+    "er_kfold_eval": (q_er_kfold_eval, Q_ER_KFOLD_SQL),
+    "imuse_attr_overlap": (q_imuse_attr_overlap, Q_IMUSE_SQL),
+    "stream_windowed_counts": (q_stream_windowed_counts, Q_STREAM_WINDOWED_SQL),
+    "stream_dedup": (q_stream_dedup, Q_STREAM_DEDUP_SQL),
+    "sessionize": (q_sessionize, Q_SESSIONIZE_SQL),
+    "multimodal_features": (q_multimodal_features, Q_MULTIMODAL_SQL),
+    "pagerank": (q_pagerank, Q_PAGERANK_SQL),
+    "topk_jaccard_blocking": (q_topk_jaccard_blocking, Q_TOPK_JACCARD_SQL),
+    "blocking_audit": (q_blocking_audit, Q_BLOCKING_AUDIT_SQL),
 }

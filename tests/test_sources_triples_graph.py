@@ -1,0 +1,242 @@
+"""Unit tests: sources (§2.1), triple operators (§2.2), matching extras
+(§2.5), graph (§2.7), streaming, and multimodal plumbing."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+# --- sources -----------------------------------------------------------------
+
+
+def test_triple_tsv_roundtrip(spark, tmp_path):
+    from entity_matchers_spark.sources.triples import read_relation_triples
+
+    p = tmp_path / "rel.tsv"
+    p.write_text("a\tr1\tb\nb\tr2\tc\n")
+    df = read_relation_triples(spark, str(p))
+    assert sorted(tuple(r) for r in df.collect()) == [("a", "r1", "b"), ("b", "r2", "c")]
+
+
+def test_triple_tsv_strict_raises(spark, tmp_path):
+    from entity_matchers_spark.sources.triples import read_relation_triples
+
+    p = tmp_path / "bad.tsv"
+    p.write_text("a\tr1\tb\nmalformed-line\n")
+    with pytest.raises(ValueError, match="malformed"):
+        read_relation_triples(spark, str(p), strict=True)
+    ok = read_relation_triples(spark, str(p), strict=False)
+    assert ok.count() == 1
+
+
+def test_attr_tsv_lenient_rejoins_tabs(spark, tmp_path):
+    from entity_matchers_spark.sources.triples import read_attribute_triples
+
+    p = tmp_path / "attr.tsv"
+    p.write_text('e1\tname\t"Val\twith tab" .\ne2\tname\tplain\n')
+    rows = {r["ent"]: r["value"] for r in read_attribute_triples(spark, str(p)).collect()}
+    assert rows["e1"] == '"Val\twith tab"'
+    assert rows["e2"] == "plain"
+
+
+def test_ntriples_sink_with_labels(spark, tmp_path):
+    from entity_matchers_spark.sources.triples import write_ntriples
+
+    triples = spark.createDataFrame([("a", "r", "b")], "h string, r string, t string")
+    links = spark.createDataFrame([("a", "x")], "e1 string, e2 string")
+    out = tmp_path / "nt"
+    write_ntriples(triples, str(out), label_links=links)
+    lines = sorted(r[0] for r in spark.read.text(str(out)).collect())
+    assert "<a> <r> <b> ." in lines
+    label_lines = [ln for ln in lines if "EntityMatchers:label" in ln]
+    # both endpoints share one deterministic label token
+    assert len(label_lines) == 2
+    tok = label_lines[0].split('"')[1]
+    assert all(tok in ln for ln in label_lines)
+
+
+def test_uri_prefix_expansion(spark):
+    from entity_matchers_spark.sources.triples import expand_uri_prefixes
+
+    df = spark.createDataFrame([("dbp:Foo",), ("yago:Bar",), ("plain",)], "u string")
+    out = df.select(
+        expand_uri_prefixes("u", {"dbp:": "http://dbpedia.org/resource/", "yago:": "http://yago/"}).alias("x")
+    )
+    assert {r[0] for r in out.collect()} == {
+        "http://dbpedia.org/resource/Foo", "http://yago/Bar", "plain",
+    }
+
+
+# --- triple operators --------------------------------------------------------
+
+
+def test_clean_literal_cases(spark):
+    from entity_matchers_spark.operators.triples import clean_literal
+
+    cases = ['"Hello World"@en', '"42"^^<xsd:int>', '  spaced   out  ', '"quoted"']
+    df = spark.createDataFrame([(c,) for c in cases], "v string")
+    got = [r[0] for r in df.select(clean_literal("v")).collect()]
+    assert got == ["Hello World", "42", "spaced out", "quoted"]
+
+
+def test_select_name_attribute_priority(spark):
+    from entity_matchers_spark.operators.triples import select_name_attribute
+
+    attrs = spark.createDataFrame(
+        [("e1", "type", "T"), ("e1", "name", "N"), ("e2", "brand", "B"), ("e3", "other", "X")],
+        "ent string, attr string, value string",
+    )
+    got = {r["ent"]: r["name"] for r in
+           select_name_attribute(attrs, {"name": 1, "brand": 2, "type": 3}).collect()}
+    assert got == {"e1": "N", "e2": "B"}  # e3 has no whitelisted attr
+
+
+def test_anonymize_consistent(spark):
+    from entity_matchers_spark.operators.triples import anonymize_entities
+
+    t = spark.createDataFrame([("a", "r", "b"), ("b", "r", "a")], "h string, r string, t string")
+    rows = anonymize_entities(t).collect()
+    m = {}
+    for r in rows:
+        m.setdefault(r["h"], set()).add("h")
+        m.setdefault(r["t"], set()).add("t")
+    # 2 distinct anonymized entities, each appearing as both head and tail
+    assert len(m) == 2 and all(v == {"h", "t"} for v in m.values())
+    assert all(k.startswith("L") for k in m)
+
+
+def test_prune_fixpoint_converges(spark):
+    from entity_matchers_spark.operators.triples import prune_links_and_triples
+
+    # link (x1,y1) survives: x1 has triple to x2 which is also linked;
+    # link (x3,y3) dies: x3's only triple points to unlinked x9
+    t1 = spark.createDataFrame(
+        [("x1", "r", "x2"), ("x3", "r", "x9")], "h string, r string, t string")
+    t2 = spark.createDataFrame(
+        [("y1", "r", "y2"), ("y3", "r", "y2")], "h string, r string, t string")
+    links = spark.createDataFrame(
+        [("x1", "y1"), ("x2", "y2"), ("x3", "y3")], "e1 string, e2 string")
+    out, _a, _b = prune_links_and_triples(links, t1, t2, max_iterations=10)
+    assert sorted(tuple(r) for r in out.collect()) == [("x1", "y1"), ("x2", "y2")]
+
+
+# --- matching extras ---------------------------------------------------------
+
+
+def test_greedy_weighted_matching_resolves_chain(spark):
+    from entity_matchers_spark.operators.matching import greedy_weighted_matching
+
+    # a1-b1 (0.9) locks first; then a2's best remaining is b2 (0.7)
+    scored = spark.createDataFrame(
+        [(1, 10, 0.9), (2, 10, 0.8), (2, 20, 0.7)], "id_a long, id_b long, score double")
+    got = sorted((r["id_a"], r["id_b"]) for r in greedy_weighted_matching(scored).collect())
+    assert got == [(1, 10), (2, 20)]
+
+
+def test_resolve_conflicts_keeps_higher_score(spark):
+    from entity_matchers_spark.operators.matching import resolve_conflicts
+
+    prev = spark.createDataFrame([(1, 10, 0.5)], "id_a long, id_b long, score double")
+    new = spark.createDataFrame([(1, 20, 0.8), (2, 10, 0.9)], "id_a long, id_b long, score double")
+    got = sorted((r["id_a"], r["id_b"]) for r in resolve_conflicts(prev, new).collect())
+    # x-conflict on id_a=1 → keep (1,20,0.8); y-conflict on id_b=10 between
+    # dropped (1,10) and (2,10) → (2,10) survives
+    assert got == [(1, 20), (2, 10)]
+
+
+def test_align_predicates_mutual_best(spark):
+    from entity_matchers_spark.operators.matching import align_predicates
+
+    v1 = spark.createDataFrame([("name",), ("kind",)], "p string")
+    v2 = spark.createDataFrame([("names",), ("kinds",)], "p string")
+    got = {(r["id_a"], r["id_b"]) for r in align_predicates(v1, v2).collect()}
+    assert got == {("name", "names"), ("kind", "kinds")}
+
+
+# --- graph -------------------------------------------------------------------
+
+
+def test_pagerank_star(spark):
+    from entity_matchers_spark.operators.graph import pagerank
+
+    # 3 leaves all pointing at hub; N=4, d=0.85
+    edges = spark.createDataFrame(
+        [("l1", "hub"), ("l2", "hub"), ("l3", "hub")], "src string, dst string")
+    pr = {r["node"]: r["pr"] for r in pagerank(edges, iterations=3).collect()}
+    leaf = (1 - 0.85) / 4
+    assert pr["l1"] == pytest.approx(leaf)
+    # hub after >=2 iters: base + d * 3 * leaf (leaves are stationary)
+    assert pr["hub"] == pytest.approx(leaf + 0.85 * 3 * leaf)
+
+
+# --- streaming ---------------------------------------------------------------
+
+
+def test_sessionize_gap_semantics(spark):
+    from entity_matchers_spark.streaming.events import sessionize
+
+    rows = [
+        (1, "2024-01-01 00:00:00", 1, 1.0),
+        (1, "2024-01-01 00:10:00", 2, 2.0),   # same session (10 min gap)
+        (1, "2024-01-01 01:00:00", 3, 4.0),   # new session (50 min gap)
+        (2, "2024-01-01 00:00:00", 4, 8.0),
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, ts string, event_id long, value double") \
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    got = sorted(
+        (r["user_id"], r["n_events"], r["sum_value"]) for r in sessionize(ev, 30).collect()
+    )
+    assert got == [(1, 1, 4.0), (1, 2, 3.0), (2, 1, 8.0)]
+
+
+def test_stream_batch_parity_windowed_counts(spark, tmp_path):
+    from entity_matchers_spark.streaming.events import run_stream_to_df, windowed_event_counts
+
+    sf_dir = "/root/testdata/sf0.001"
+    streamed = run_stream_to_df(
+        spark, f"{sf_dir}/events.parquet", windowed_event_counts, output_mode="complete"
+    )
+    batch = windowed_event_counts(spark.read.parquet(f"{sf_dir}/events.parquet"))
+    s = {tuple(map(str, r)) for r in streamed.collect()}
+    b = {tuple(map(str, r)) for r in batch.collect()}
+    assert s == b and len(s) > 0
+
+
+# --- multimodal --------------------------------------------------------------
+
+
+def test_multimodal_fake_features_deterministic(spark):
+    from entity_matchers_spark.operators.multimodal import (
+        FEATURE_DIM,
+        extract_media_features,
+        fake_features,
+        media_from_documents,
+    )
+
+    docs = spark.createDataFrame([(1, "hello"), (2, "")], "doc_id long, text string")
+    out = {r["media_id"]: r for r in extract_media_features(media_from_documents(docs)).collect()}
+    assert out[1]["feature"] == fake_features(b"hello")
+    assert len(out[1]["feature"]) == FEATURE_DIM
+    assert out[1]["n_bytes"] == 5 and out[2]["n_bytes"] == 0
+
+
+def test_multimodal_decode_stub_raises(spark):
+    from entity_matchers_spark.operators.multimodal import (
+        extract_media_features,
+        media_from_documents,
+    )
+
+    docs = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    media = media_from_documents(docs)
+    with pytest.raises(Exception):  # NotImplementedError surfaces as PythonException
+        extract_media_features(media, real_decode=True).collect()
+
+
+def test_frame_sample_plan(spark):
+    from entity_matchers_spark.operators.multimodal import frame_sample_plan
+
+    media = spark.createDataFrame([(1, "v", b"", 25_000)],
+                                  "media_id long, mime string, payload binary, n_bytes long")
+    idxs = sorted(r["frame_idx"] for r in frame_sample_plan(media, every_n=10).collect())
+    assert idxs == [0, 10, 20]
