@@ -250,3 +250,56 @@ def topk_jaccard_candidates(
         .where(F.col("rnk") <= k)
         .select("id_a", "id_b", "jaccard", "rnk")
     )
+
+
+def salted_candidate_pairs(
+    blocks: DataFrame,
+    chunk_size: int = 64,
+) -> DataFrame:
+    """EXACT self-join on block_id with hot-key salting — no dropped blocks.
+
+    ``candidate_pairs`` bounds skew by *dropping* oversized blocks; when the
+    pairs of a hot block are required (the north rule's "salted, skew-aware
+    self-join"), the block is decomposed into chunks of ``chunk_size`` and
+    every chunk-pair cell (i <= j) becomes its own join key:
+
+      - each member gets a deterministic chunk index ci (row_number within
+        its block, mod n_chunks — stable order on id);
+      - the LEFT side replicates each member once per cell row (ci, j>=ci),
+      - the RIGHT side replicates once per cell column (i<=cj, cj),
+      - the equi-join key is (block_id, i, j), so one cell's pairs land in
+        one task and no task ever sees more than chunk_size^2 pairs.
+
+    Replication factor is n_chunks per row — total work stays the exact
+    pair count O(n^2) but the largest shuffle partition is bounded, which
+    is what dies at 10^12 docs otherwise. Output: distinct (id_a < id_b).
+    """
+    from pyspark.sql import Window
+
+    sizes = blocks.groupBy("block_id").agg(F.count("*").alias("_n"))
+    b = blocks.join(sizes, "block_id")
+    w = Window.partitionBy("block_id").orderBy("id")
+    b = b.withColumn("_nchunks", F.ceil(F.col("_n") / chunk_size).cast("int"))
+    b = b.withColumn("_ci", ((F.row_number().over(w) - 1) % F.col("_nchunks")).cast("int"))
+
+    left = b.select(
+        "block_id", "id", "_ci",
+        F.explode(F.sequence(F.col("_ci"), F.col("_nchunks") - 1)).alias("_j"),
+    ).select("block_id", F.col("id").alias("id_a"), F.col("_ci").alias("_i"), "_j")
+    right = b.select(
+        "block_id", "id", "_ci",
+        F.explode(F.sequence(F.lit(0), F.col("_ci"))).alias("_i"),
+    ).select("block_id", F.col("id").alias("id_b"), "_i", F.col("_ci").alias("_j"))
+    joined = left.join(right, ["block_id", "_i", "_j"])
+    # cross-chunk cells (i<j) hold each pair exactly once but in chunk
+    # order, not id order — normalize with least/greatest; same-chunk cells
+    # hold both orderings, so keep the ordered half only
+    return (
+        joined.where((F.col("_i") != F.col("_j")) | (F.col("id_a") < F.col("id_b")))
+        .select(
+            F.least("id_a", "id_b").alias("id_a"),
+            F.greatest("id_a", "id_b").alias("id_b"),
+        )
+        .where(F.col("id_a") != F.col("id_b"))
+        .distinct()
+    )

@@ -125,6 +125,10 @@ def minhash_neardup_pairs(
     )
     from entity_matchers_spark.functions.shingles import hashed_shingles
 
+    # the exact-Jaccard verify is compute-bound; spread candidates across
+    # all cores (AQE would size the tiny pair shuffle down to 1 task)
+    sc = cands.sparkSession.sparkContext
+    cands = cands.repartition(3 * sc.defaultParallelism, "id_a", "id_b")
     sh = df.select(
         F.col(id_col).alias("id"),
         hashed_shingles(F.lower(F.substring(F.col(text_col), 1, text_cap)), n=shingle_n).alias("sh"),

@@ -1606,6 +1606,49 @@ FROM sizes
 )
 
 
+
+
+def q_er_kernel_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kernel-pooled set-similarity features (BERT-INT dual aggregation,
+    dual_aggregation_func.py:7-54) over the blocked candidate pairs —
+    genuinely non-SQL (einsum over padded tensors), so rows-only check;
+    exactness is pinned by a pure-numpy scalar reference in tests."""
+    from entity_matchers_spark.operators.kernels import kernel_pooled_features
+
+    docs = _docs(spark, sf_dir)
+    pairs = _er_spark_pairs(spark, sf_dir)
+    feats = kernel_pooled_features(pairs, docs, id_col="doc_id", text_col="text")
+    return feats.select(
+        "id_a", "id_b",
+        F.round(F.element_at("kernel_feats", 1), 6).alias("k_exact_row"),
+        F.round(F.element_at("kernel_feats", 22), 6).alias("k_exact_col"),
+        F.round(F.element_at("kernel_feats", 12), 6).alias("k_mid_row"),
+    )
+
+
+
+
+def q_er_pairs_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT hot-key-salted self-join on block_id (north rule's "salted,
+    skew-aware self-join"): chunk-pair decomposition keeps every pair of a
+    hot block while bounding any task at chunk_size^2 pairs; oracle is the
+    plain unbounded self-join."""
+    from entity_matchers_spark.operators.blocking import salted_candidate_pairs
+
+    blocks = _er_spark_blocks(spark, sf_dir)
+    return salted_candidate_pairs(blocks, chunk_size=ER_CAP)
+
+
+Q_ER_PAIRS_SALTED_SQL = (
+    f"WITH {_er_blocks_sql()}"
+    """
+SELECT DISTINCT least(l.id, r.id) AS id_a, greatest(l.id, r.id) AS id_b
+FROM blocks l JOIN blocks r USING (block_id)
+WHERE l.id != r.id
+"""
+)
+
+
 # ---------------------------------------------------------------------------
 
 QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
@@ -1654,4 +1697,6 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "pagerank": (q_pagerank, Q_PAGERANK_SQL),
     "topk_jaccard_blocking": (q_topk_jaccard_blocking, Q_TOPK_JACCARD_SQL),
     "blocking_audit": (q_blocking_audit, Q_BLOCKING_AUDIT_SQL),
+    "er_kernel_features": (q_er_kernel_features, None),
+    "er_pairs_salted": (q_er_pairs_salted, Q_ER_PAIRS_SALTED_SQL),
 }

@@ -240,3 +240,65 @@ def test_frame_sample_plan(spark):
                                   "media_id long, mime string, payload binary, n_bytes long")
     idxs = sorted(r["frame_idx"] for r in frame_sample_plan(media, every_n=10).collect())
     assert idxs == [0, 10, 20]
+
+
+# --- kernel-pooled similarity ------------------------------------------------
+
+
+def test_kernel_features_match_scalar_reference(spark):
+    import hashlib
+    import numpy as np
+    from entity_matchers_spark.operators.kernels import (
+        KERNEL_MUS, KERNEL_SIGMAS, _token_vector, kernel_pooled_features,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "alpha beta delta epsilon")],
+        "doc_id long, text string",
+    )
+    pairs = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+    row = kernel_pooled_features(pairs, docs, id_col="doc_id").first()
+    got = np.array(row["kernel_feats"])
+    assert got.shape == (42,)
+
+    # scalar reference from first principles
+    def tok_hashes(text):
+        hs = sorted({int(hashlib.md5(t.encode()).hexdigest()[:8], 16)
+                     for t in text.lower().split()})
+        return hs[:32]
+
+    A = [_token_vector(h, 16) for h in tok_hashes("alpha beta gamma")]
+    B = [_token_vector(h, 16) for h in tok_hashes("alpha beta delta epsilon")]
+    sim = np.array([[float(a @ b) for b in B] for a in A])
+    row_pool, col_pool = sim.max(axis=1), sim.max(axis=0)
+
+    def feats(pool):
+        return [float(np.log1p(np.exp(-((pool - mu) ** 2) / (2 * s * s)).sum()))
+                for mu, s in zip(KERNEL_MUS, KERNEL_SIGMAS)]
+
+    exp = np.array(feats(row_pool) + feats(col_pool))
+    assert np.allclose(got, exp, atol=1e-12)
+    # two shared tokens -> exact-match kernel (mu=1) sees ~2 hits per side
+    assert got[0] == pytest.approx(np.log1p(2.0), abs=1e-6)
+
+
+# --- salted self-join --------------------------------------------------------
+
+
+def test_salted_pairs_equal_plain_self_join(spark):
+    import random
+    from entity_matchers_spark.operators.blocking import salted_candidate_pairs
+
+    random.seed(1)
+    rows = [(i, f"b{random.randint(0, 3)}") for i in range(300)]
+    rows += [(i, "hot") for i in range(300, 500)]          # one hot block
+    rows += [(10_000 - i, "hot2") for i in range(100)]      # chunk order != id order
+    blocks = spark.createDataFrame(rows, "id long, block_id string")
+    exact = (
+        blocks.alias("l").join(blocks.alias("r"), "block_id")
+        .where(F.col("l.id") < F.col("r.id"))
+        .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b")).distinct()
+    )
+    salted = salted_candidate_pairs(blocks, chunk_size=37)
+    assert exact.exceptAll(salted).count() == 0
+    assert salted.exceptAll(exact).count() == 0
