@@ -9,10 +9,11 @@ the *blocked candidate-pair DataFrame*.
 
 Features per pair (one Arrow batch computes all of them, per the
 north-star's "no per-row Python"):
-- Jaro-Winkler on the name-ish prefix (pandas UDF; the only non-native op)
-- token-set Levenshtein ratio (native levenshtein on canonicalized text)
-- 3-gram Jaccard (native array_intersect/union)
-- embedding cosine on hashed-token vectors (native zip_with/aggregate)
+- Jaro-Winkler on the name-ish prefix (numpy-vectorized pandas UDF)
+- token-set Levenshtein ratio (native levenshtein on capped canonical text,
+  with an identical-string short-circuit)
+- 3-gram Jaccard over md5-int shingle sets (allocation-free batch UDF)
+- embedding cosine on hashing-trick token vectors (native zip_with/aggregate)
 
 Blend: calibrated weighted sum → score in [0,1]. Weights/threshold are fit
 on labeled pairs (see calibration.fit_threshold) to reproduce the
@@ -26,21 +27,25 @@ from pyspark.sql import functions as F
 
 from entity_matchers_spark.functions.shingles import char_shingles, hashed_shingles, tokens
 from entity_matchers_spark.functions.similarity import (
+    cosine_similarity,
     jaccard_hashed_udf,
     jaro_winkler_udf,
     levenshtein_ratio,
 )
 
-DEFAULT_WEIGHTS = {"jw": 0.3, "tslr": 0.4, "jac3": 0.3}
+DEFAULT_WEIGHTS = {"jw": 0.25, "tslr": 0.3, "jac3": 0.25, "cos": 0.2}
 
 
 def hashed_token_vector(text: Column | str, dim: int = 64) -> Column:
     """Hashing-trick token-count vector as ``array<double>`` — the
     deterministic stand-in for trained embeddings (the reference's char-level
     fallback encoder precedent: literal_encoder.py:150-190). Native:
-    tokens → bucket via crc32 % dim → counts via aggregate."""
+    tokens → bucket via md5-int % dim (cross-engine reproducible) → counts
+    via aggregate."""
     toks = tokens(text)
-    buckets = F.transform(toks, lambda t: F.crc32(t) % dim)
+    buckets = F.transform(
+        toks, lambda t: F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long") % dim
+    )
     # count per bucket without a shuffle: aggregate into a fixed-size array
     zeros = F.array_repeat(F.lit(0.0), dim)
     return F.aggregate(
@@ -93,20 +98,31 @@ def score_pairs(
         F.lower(F.substring(F.col(text_col), 1, name_cap)).alias("name_a"),
         canon.alias("canon_a"),
         hashed_shingles(F.lower(F.substring(F.col(text_col), 1, 300))).alias("sh_a"),
+        hashed_token_vector(F.col(text_col)).alias("vec_a"),
     )
     b = docs.select(
         F.col(id_col).alias("id_b"),
         F.lower(F.substring(F.col(text_col), 1, name_cap)).alias("name_b"),
         canon.alias("canon_b"),
         hashed_shingles(F.lower(F.substring(F.col(text_col), 1, 300))).alias("sh_b"),
+        hashed_token_vector(F.col(text_col)).alias("vec_b"),
     )
     joined = pairs.join(a, "id_a").join(b, "id_b")
+    # identical strings shortcut: CASE short-circuits, so the quadratic
+    # levenshtein runs only when the canonical strings actually differ
+    # (near-dup-heavy inputs hit the fast branch often)
+    tslr = F.when(F.col("canon_a") == F.col("canon_b"), F.lit(1.0)).otherwise(
+        levenshtein_ratio("canon_a", "canon_b")
+    )
     scored = joined.select(
         "id_a",
         "id_b",
         F.round(jaro_winkler_udf(F.col("name_a"), F.col("name_b")), 9).alias("jw"),
-        F.round(levenshtein_ratio("canon_a", "canon_b"), 9).alias("tslr"),
+        F.round(tslr, 9).alias("tslr"),
         F.round(jaccard_hashed_udf(F.col("sh_a"), F.col("sh_b")), 9).alias("jac3"),
+        # cosine over hashing-trick vectors — rounded before blending so the
+        # score stays engine-reproducible despite float summation order
+        F.round(cosine_similarity(F.col("vec_a"), F.col("vec_b")), 6).alias("cos"),
     )
     blend = sum(F.col(k) * F.lit(v) for k, v in w.items())
     return scored.withColumn("score", F.round(blend, 9))

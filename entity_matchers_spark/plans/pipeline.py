@@ -40,7 +40,7 @@ class PipelineConfig:
     name_cap: int = 64
     seed: int = 11037
     max_block_size: int = 64
-    edge_threshold: float = 0.62
+    edge_threshold: float = 0.8
     weights: dict[str, float] = field(
         default_factory=lambda: dict(scoring.DEFAULT_WEIGHTS)
     )

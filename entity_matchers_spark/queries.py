@@ -40,7 +40,8 @@ ER_NAME_CAP = 64
 # per pair and the builtin allocates 2 int rows per call — the cap bounds
 # both while the sorted-distinct prefix keeps the comparison stable
 ER_TSLR_CAP = 192
-ER_EDGE_THRESHOLD = 0.62
+ER_VEC_DIM = 64
+ER_EDGE_THRESHOLD = 0.8
 
 
 def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -99,18 +100,18 @@ def _er_blocks_sql() -> str:
         band_exprs.append(f"SELECT id, 'mh:{band}:' || {cells} AS block_id FROM sig")
     mh = "\n    UNION ALL\n    ".join(band_exprs)
     return f"""
-  grams_t AS (
+  grams_t AS MATERIALIZED (
     SELECT doc_id AS id,
            list_distinct([('0x'||substr(md5(substr(t, i, 3)),1,8))::UBIGINT::BIGINT
                           for i in range(1, len(t)-1)]) AS grams
     FROM (SELECT doc_id, lower(substr(text, 1, 300)) AS t FROM documents)
   ),
-  sig AS (
+  sig AS MATERIALIZED (
     SELECT id, [
       {sig}
     ] AS s FROM grams_t
   ),
-  blocks AS (
+  blocks AS MATERIALIZED (
     {mh}
     UNION ALL
     SELECT doc_id AS id, 'dom:' || source AS block_id FROM documents
@@ -121,13 +122,13 @@ def _er_blocks_sql() -> str:
 def _er_pairs_sql() -> str:
     """Capped, deduped candidate pairs CTE (requires _er_blocks_sql CTEs)."""
     return f"""
-  capped AS (
+  capped AS MATERIALIZED (
     SELECT b.* FROM blocks b
     WHERE b.block_id NOT IN (
       SELECT block_id FROM blocks GROUP BY block_id HAVING count(*) > {ER_CAP}
     )
   ),
-  pairs AS (
+  pairs AS MATERIALIZED (
     SELECT DISTINCT l.id AS id_a, r.id AS id_b
     FROM capped l JOIN capped r USING (block_id)
     WHERE l.id < r.id
@@ -146,25 +147,49 @@ def _er_scores_sql() -> str:
     canon_a = f"substr({_TSLR_CANON.format(c='da.text')}, 1, {ER_TSLR_CAP})"
     canon_b = f"substr({_TSLR_CANON.format(c='db.text')}, 1, {ER_TSLR_CAP})"
     return f"""
-  scored AS (
-    SELECT id_a, id_b,
+  tok_b AS MATERIALIZED (
+    SELECT id, b, count(*)::DOUBLE AS c FROM (
+      SELECT doc_id AS id,
+             (('0x'||substr(md5(t),1,8))::UBIGINT::BIGINT % {ER_VEC_DIM}) AS b
+      FROM (SELECT doc_id,
+                   unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                                      x -> x != '')) AS t
+            FROM documents)
+    ) GROUP BY id, b
+  ),
+  vnorm AS MATERIALIZED (SELECT id, sum(c * c) AS n2 FROM tok_b GROUP BY id),
+  dots AS MATERIALIZED (
+    SELECT p.id_a, p.id_b, sum(ta.c * tb.c) AS dot
+    FROM pairs p
+    JOIN tok_b ta ON ta.id = p.id_a
+    JOIN tok_b tb ON tb.id = p.id_b AND tb.b = ta.b
+    GROUP BY p.id_a, p.id_b
+  ),
+  scored AS MATERIALIZED (
+    SELECT pairs.id_a AS id_a, pairs.id_b AS id_b,
       jaro_winkler_similarity(lower(substr(da.text, 1, {ER_NAME_CAP})),
                               lower(substr(db.text, 1, {ER_NAME_CAP}))) AS jw,
-      CASE WHEN greatest(len({canon_a}), len({canon_b})) = 0 THEN 1.0
+      CASE WHEN {canon_a} = {canon_b} THEN 1.0
+           WHEN greatest(len({canon_a}), len({canon_b})) = 0 THEN 1.0
             ELSE 1.0 - levenshtein({canon_a}, {canon_b})
                  / greatest(len({canon_a}), len({canon_b}))::DOUBLE END AS tslr,
       CASE WHEN len(list_distinct(ga.grams || gb.grams)) = 0 THEN 0.0
             ELSE len(list_intersect(ga.grams, gb.grams))
-                 / len(list_distinct(ga.grams || gb.grams))::DOUBLE END AS jac3
+                 / len(list_distinct(ga.grams || gb.grams))::DOUBLE END AS jac3,
+      CASE WHEN coalesce(va.n2, 0) = 0 OR coalesce(vb.n2, 0) = 0 THEN 0.0
+           ELSE coalesce(d.dot, 0) / (sqrt(va.n2) * sqrt(vb.n2)) END AS cos
     FROM pairs
     JOIN documents da ON pairs.id_a = da.doc_id
     JOIN documents db ON pairs.id_b = db.doc_id
     JOIN grams_t ga ON pairs.id_a = ga.id
     JOIN grams_t gb ON pairs.id_b = gb.id
+    LEFT JOIN vnorm va ON pairs.id_a = va.id
+    LEFT JOIN vnorm vb ON pairs.id_b = vb.id
+    LEFT JOIN dots d ON pairs.id_a = d.id_a AND pairs.id_b = d.id_b
   ),
-  final_scored AS (
-    SELECT id_a, id_b, jw, tslr, jac3,
-           jw * 0.3 + tslr * 0.4 + jac3 * 0.3 AS score
+  final_scored AS MATERIALIZED (
+    SELECT id_a, id_b, jw, tslr, jac3, cos,
+           jw * 0.25 + tslr * 0.3 + jac3 * 0.25 + cos * 0.2 AS score
     FROM scored
   )
 """
@@ -210,33 +235,45 @@ def _er_spark_scores_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     canon = F.concat_ws(
         " ", F.sort_array(F.array_distinct(F.filter(F.split(F.lower("text"), r"\s+"), lambda t: t != "")))
     )
+    from entity_matchers_spark.functions.similarity import cosine_similarity
+    from entity_matchers_spark.operators.scoring import hashed_token_vector
+
     sides = docs.select(
         F.col("doc_id").alias("id"),
         F.lower(F.substring("text", 1, ER_NAME_CAP)).alias("name"),
         F.substring(canon, 1, ER_TSLR_CAP).alias("canon"),
         hashed_shingles(F.lower(F.substring("text", 1, 300))).alias("sh"),
+        hashed_token_vector("text", dim=ER_VEC_DIM).alias("vec"),
     )
     a = sides.select(
         F.col("id").alias("id_a"), F.col("name").alias("name_a"),
         F.col("canon").alias("canon_a"), F.col("sh").alias("sh_a"),
+        F.col("vec").alias("vec_a"),
     )
     b = sides.select(
         F.col("id").alias("id_b"), F.col("name").alias("name_b"),
         F.col("canon").alias("canon_b"), F.col("sh").alias("sh_b"),
+        F.col("vec").alias("vec_b"),
+    )
+    tslr = F.when(F.col("canon_a") == F.col("canon_b"), F.lit(1.0)).otherwise(
+        levenshtein_ratio("canon_a", "canon_b")
     )
     scored = (
         pairs.join(a, "id_a").join(b, "id_b")
         .select(
             "id_a", "id_b",
             jaro_winkler_udf(F.col("name_a"), F.col("name_b")).alias("jw"),
-            levenshtein_ratio("canon_a", "canon_b").alias("tslr"),
+            tslr.alias("tslr"),
             jaccard_hashed_udf(F.col("sh_a"), F.col("sh_b")).alias("jac3"),
+            cosine_similarity(F.col("vec_a"), F.col("vec_b")).alias("cos"),
         )
     )
     # No rounding anywhere: every feature is computed from identical operands
-    # in identical order in both engines, so the raw doubles are bit-equal.
+    # in identical order in both engines, so the raw doubles are bit-equal
+    # (cosine inputs are small integer counts — dot/norms are exact).
     return scored.withColumn(
-        "score", F.col("jw") * 0.3 + F.col("tslr") * 0.4 + F.col("jac3") * 0.3
+        "score",
+        F.col("jw") * 0.25 + F.col("tslr") * 0.3 + F.col("jac3") * 0.25 + F.col("cos") * 0.2,
     )
 
 
@@ -393,14 +430,15 @@ Q_ER_CANDIDATE_PAIRS_SQL = (
 
 
 def q_er_pair_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Pairwise scoring: JW (pandas UDF) + token-set-lev + 3-gram Jaccard +
-    calibrated blend (SURVEY.md §2.4)."""
+    """Pairwise scoring: JW (vectorized UDF) + token-set-lev + 3-gram Jaccard
+    + hashing-trick embedding cosine + calibrated blend (SURVEY.md §2.4,
+    north star feature set)."""
     return _er_spark_scores(spark, sf_dir)
 
 
 Q_ER_PAIR_SCORES_SQL = (
     f"WITH {_er_blocks_sql()}, {_er_pairs_sql()}, {_er_scores_sql()} "
-    "SELECT id_a, id_b, jw, tslr, jac3, score FROM final_scored"
+    "SELECT id_a, id_b, jw, tslr, jac3, cos, score FROM final_scored"
 )
 
 
@@ -597,7 +635,7 @@ WITH {_SIMHASH_SQL_CTE},
     SELECT id, simhash, 'c' || c || ':' || ((simhash >> (c*15)) & 32767) AS chunk_key
     FROM sims, (SELECT unnest(range(4)) AS c)
   ),
-  cands AS (
+  cands AS MATERIALIZED (
     SELECT DISTINCT l.id AS id_a, r.id AS id_b, l.simhash AS sh_a, r.simhash AS sh_b
     FROM chunks l JOIN chunks r USING (chunk_key)
     WHERE l.id < r.id
@@ -949,13 +987,13 @@ def _links_fixpoint_sql(rounds: int) -> str:
             f""",
   e1_{i} AS (SELECT DISTINCT e1 AS e FROM l{prev}),
   e2_{i} AS (SELECT DISTINCT e2 AS e FROM l{prev}),
-  t1_{i} AS (SELECT * FROM t1{'' if i == 1 else f'_{i-1}'}
+  t1_{i} AS MATERIALIZED (SELECT * FROM t1{'' if i == 1 else f'_{i-1}'}
              WHERE h IN (SELECT e FROM e1_{i}) AND t IN (SELECT e FROM e1_{i})),
-  t2_{i} AS (SELECT * FROM t2{'' if i == 1 else f'_{i-1}'}
+  t2_{i} AS MATERIALIZED (SELECT * FROM t2{'' if i == 1 else f'_{i-1}'}
              WHERE h IN (SELECT e FROM e2_{i}) AND t IN (SELECT e FROM e2_{i})),
   ents1_{i} AS (SELECT h AS e FROM t1_{i} UNION SELECT t FROM t1_{i}),
   ents2_{i} AS (SELECT h AS e FROM t2_{i} UNION SELECT t FROM t2_{i}),
-  l{i} AS (SELECT * FROM l{prev}
+  l{i} AS MATERIALIZED (SELECT * FROM l{prev}
            WHERE e1 IN (SELECT e FROM ents1_{i}) AND e2 IN (SELECT e FROM ents2_{i}))"""
         )
         prev = str(i)
@@ -1203,10 +1241,10 @@ def _mwgm_sql(rounds: int) -> str:
   bb_{i} AS (SELECT id_a, id_b FROM (
     SELECT id_a, id_b, row_number() OVER (PARTITION BY id_b ORDER BY score DESC, id_a ASC) AS rn
     FROM {prev}) WHERE rn = 1),
-  m_{i} AS (SELECT s.id_a, s.id_b, s.score FROM {prev} s
+  m_{i} AS MATERIALIZED (SELECT s.id_a, s.id_b, s.score FROM {prev} s
             JOIN ba_{i} USING (id_a, id_b) JOIN bb_{i} USING (id_a, id_b)),
-  mm_{i} AS ({' UNION ALL '.join(f'SELECT * FROM m_{j}' for j in range(1, i + 1))}),
-  r_{i} AS (SELECT * FROM {prev}
+  mm_{i} AS MATERIALIZED ({' UNION ALL '.join(f'SELECT * FROM m_{j}' for j in range(1, i + 1))}),
+  r_{i} AS MATERIALIZED (SELECT * FROM {prev}
             WHERE id_a NOT IN (SELECT id_a FROM mm_{i})
               AND id_b NOT IN (SELECT id_b FROM mm_{i}))""")
         matched.append(f"m_{i}")
@@ -1229,7 +1267,7 @@ def q_er_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
 Q_ER_BOOTSTRAP_SQL = (
     f"WITH {_er_blocks_sql()}, {_er_pairs_sql()}, {_er_scores_sql()}, "
     """
-  cands AS (
+  cands AS MATERIALIZED (
     SELECT id_a, id_b, score FROM (
       SELECT id_a, id_b, score,
              row_number() OVER (PARTITION BY id_a ORDER BY score DESC, id_b ASC) AS rn
@@ -1504,12 +1542,12 @@ def _pagerank_sql(iterations: int, damping: float = 0.85) -> str:
     parts = [f"WITH {_PR_EDGES_SQL},\n  pr_0 AS (SELECT node, 1.0 / nn.n AS pr FROM nodes, nn)"]
     for i in range(1, iterations + 1):
         parts.append(f""",
-  c_{i} AS (
+  c_{i} AS MATERIALIZED (
     SELECT e.dst AS node, sum(p.pr / deg.deg) AS mass
     FROM edges e JOIN deg ON e.src = deg.src JOIN pr_{i-1} p ON e.src = p.node
     GROUP BY e.dst
   ),
-  pr_{i} AS (
+  pr_{i} AS MATERIALIZED (
     SELECT nodes.node,
            (1.0 - {damping}) / nn.n + {damping} * coalesce(c_{i}.mass, 0.0) AS pr
     FROM nodes CROSS JOIN nn LEFT JOIN c_{i} ON nodes.node = c_{i}.node
