@@ -1687,6 +1687,63 @@ WHERE l.id != r.id
 )
 
 
+
+
+def q_er_truncated_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Truncated cross-product candidate set with ground-truth injection
+    (create_test_cross_product_truncated.py:89-191 +
+    create_dataset_deepmatchers.py:444-472): top-5 scored candidates per
+    left id, minus "train" pairs (fold 0 of the seeded 5-fold split), with
+    uncovered train-fold gold pairs unioned back in."""
+    from entity_matchers_spark.operators.evaluation import assign_folds
+
+    scored = _er_spark_scores(spark, sf_dir)
+    top5 = matching.topk_per_id(scored, 5, "a").select("id_a", "id_b")
+    folded = assign_folds(scored.select("id_a", "id_b"), n_folds=5)
+    train = folded.where(F.col("fold") == 0).select("id_a", "id_b")
+    truncated = top5.join(train, ["id_a", "id_b"], "left_anti")
+    gold = (
+        _er_cached(spark, sf_dir, "scores", lambda: _er_spark_scores_build(spark, sf_dir))
+        .where(F.col("jac3") >= 0.55)
+        .select("id_a", "id_b")
+    )
+    gold_train = gold.join(train, ["id_a", "id_b"], "left_semi")
+    injected = gold_train.join(truncated, ["id_a", "id_b"], "left_anti")
+    return truncated.withColumn("injected", F.lit(False)).unionByName(
+        injected.withColumn("injected", F.lit(True))
+    )
+
+
+Q_ER_TRUNCATED_SQL = (
+    f"WITH {_er_blocks_sql()}, {_er_pairs_sql()}, {_er_scores_sql()}, "
+    """
+  top5 AS MATERIALIZED (
+    SELECT id_a, id_b FROM (
+      SELECT id_a, id_b,
+             row_number() OVER (PARTITION BY id_a ORDER BY score DESC, id_b ASC) AS rn
+      FROM final_scored) WHERE rn <= 5
+  ),
+  train AS MATERIALIZED (
+    SELECT id_a, id_b FROM final_scored
+    WHERE (('0x' || substr(md5('folds-v1' || id_a::VARCHAR || '|' || id_b::VARCHAR), 1, 8))::UBIGINT::BIGINT % 5) = 0
+  ),
+  truncated AS MATERIALIZED (
+    SELECT t.id_a, t.id_b FROM top5 t
+    ANTI JOIN train USING (id_a, id_b)
+  ),
+  gold_train AS MATERIALIZED (
+    SELECT f.id_a, f.id_b FROM final_scored f
+    SEMI JOIN train USING (id_a, id_b)
+    WHERE f.jac3 >= 0.55
+  )
+SELECT id_a, id_b, false AS injected FROM truncated
+UNION ALL
+SELECT g.id_a, g.id_b, true AS injected FROM gold_train g
+ANTI JOIN truncated USING (id_a, id_b)
+"""
+)
+
+
 # ---------------------------------------------------------------------------
 
 QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
@@ -1737,4 +1794,5 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "blocking_audit": (q_blocking_audit, Q_BLOCKING_AUDIT_SQL),
     "er_kernel_features": (q_er_kernel_features, None),
     "er_pairs_salted": (q_er_pairs_salted, Q_ER_PAIRS_SALTED_SQL),
+    "er_truncated_candidates": (q_er_truncated_candidates, Q_ER_TRUNCATED_SQL),
 }
