@@ -55,6 +55,19 @@ def hashed_token_vector(text: Column | str, dim: int = 64) -> Column:
     )
 
 
+def _cosine_precomputed_norms(va: str, vb: str, na: str, nb: str) -> Column:
+    """Cosine with per-doc norms shipped as scalars: dot / (na * nb) —
+    identical operand order to ``cosine_similarity`` and the SQL oracle."""
+    dot = F.aggregate(
+        F.zip_with(F.col(va), F.col(vb), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    return F.when((F.col(na) == 0) | (F.col(nb) == 0), F.lit(0.0)).otherwise(
+        dot / (F.col(na) * F.col(nb))
+    )
+
+
 def score_pairs(
     pairs: DataFrame,
     docs: DataFrame,
@@ -93,19 +106,27 @@ def score_pairs(
         1,
         tslr_cap,
     )
+    # vector L2 norm is a per-DOC quantity: compute it map-side once and
+    # ship the scalar, so the per-pair cosine is one zip_with dot, not three
+    vec = hashed_token_vector(F.col(text_col))
+    norm = F.sqrt(
+        F.aggregate(vec, F.lit(0.0), lambda acc, v: acc + v * v)
+    )
     a = docs.select(
         F.col(id_col).alias("id_a"),
         F.lower(F.substring(F.col(text_col), 1, name_cap)).alias("name_a"),
         canon.alias("canon_a"),
         hashed_shingles(F.lower(F.substring(F.col(text_col), 1, 300))).alias("sh_a"),
-        hashed_token_vector(F.col(text_col)).alias("vec_a"),
+        vec.alias("vec_a"),
+        norm.alias("norm_a"),
     )
     b = docs.select(
         F.col(id_col).alias("id_b"),
         F.lower(F.substring(F.col(text_col), 1, name_cap)).alias("name_b"),
         canon.alias("canon_b"),
         hashed_shingles(F.lower(F.substring(F.col(text_col), 1, 300))).alias("sh_b"),
-        hashed_token_vector(F.col(text_col)).alias("vec_b"),
+        vec.alias("vec_b"),
+        norm.alias("norm_b"),
     )
     joined = pairs.join(a, "id_a").join(b, "id_b")
     # identical strings shortcut: CASE short-circuits, so the quadratic
@@ -122,7 +143,7 @@ def score_pairs(
         F.round(jaccard_hashed_udf(F.col("sh_a"), F.col("sh_b")), 9).alias("jac3"),
         # cosine over hashing-trick vectors — rounded before blending so the
         # score stays engine-reproducible despite float summation order
-        F.round(cosine_similarity(F.col("vec_a"), F.col("vec_b")), 6).alias("cos"),
+        F.round(_cosine_precomputed_norms("vec_a", "vec_b", "norm_a", "norm_b"), 6).alias("cos"),
     )
     blend = sum(F.col(k) * F.lit(v) for k, v in w.items())
     return scored.withColumn("score", F.round(blend, 9))

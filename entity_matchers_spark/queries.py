@@ -235,25 +235,30 @@ def _er_spark_scores_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     canon = F.concat_ws(
         " ", F.sort_array(F.array_distinct(F.filter(F.split(F.lower("text"), r"\s+"), lambda t: t != "")))
     )
-    from entity_matchers_spark.functions.similarity import cosine_similarity
-    from entity_matchers_spark.operators.scoring import hashed_token_vector
+    from entity_matchers_spark.operators.scoring import (
+        _cosine_precomputed_norms,
+        hashed_token_vector,
+    )
 
+    vec = hashed_token_vector("text", dim=ER_VEC_DIM)
+    norm = F.sqrt(F.aggregate(vec, F.lit(0.0), lambda acc, v: acc + v * v))
     sides = docs.select(
         F.col("doc_id").alias("id"),
         F.lower(F.substring("text", 1, ER_NAME_CAP)).alias("name"),
         F.substring(canon, 1, ER_TSLR_CAP).alias("canon"),
         hashed_shingles(F.lower(F.substring("text", 1, 300))).alias("sh"),
-        hashed_token_vector("text", dim=ER_VEC_DIM).alias("vec"),
+        vec.alias("vec"),
+        norm.alias("norm"),
     )
     a = sides.select(
         F.col("id").alias("id_a"), F.col("name").alias("name_a"),
         F.col("canon").alias("canon_a"), F.col("sh").alias("sh_a"),
-        F.col("vec").alias("vec_a"),
+        F.col("vec").alias("vec_a"), F.col("norm").alias("norm_a"),
     )
     b = sides.select(
         F.col("id").alias("id_b"), F.col("name").alias("name_b"),
         F.col("canon").alias("canon_b"), F.col("sh").alias("sh_b"),
-        F.col("vec").alias("vec_b"),
+        F.col("vec").alias("vec_b"), F.col("norm").alias("norm_b"),
     )
     tslr = F.when(F.col("canon_a") == F.col("canon_b"), F.lit(1.0)).otherwise(
         levenshtein_ratio("canon_a", "canon_b")
@@ -265,7 +270,7 @@ def _er_spark_scores_build(spark: SparkSession, sf_dir: str) -> DataFrame:
             jaro_winkler_udf(F.col("name_a"), F.col("name_b")).alias("jw"),
             tslr.alias("tslr"),
             jaccard_hashed_udf(F.col("sh_a"), F.col("sh_b")).alias("jac3"),
-            cosine_similarity(F.col("vec_a"), F.col("vec_b")).alias("cos"),
+            _cosine_precomputed_norms("vec_a", "vec_b", "norm_a", "norm_b").alias("cos"),
         )
     )
     # No rounding anywhere: every feature is computed from identical operands
