@@ -1749,6 +1749,51 @@ ANTI JOIN truncated USING (id_a, id_b)
 )
 
 
+
+
+def q_er_csls_mutual_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual-best decision over CSLS-rescaled scores (alignment.py:302-347,
+    the hubness-corrected variant used by basic_model.py:338-343)."""
+    scored = _er_spark_scores(spark, sf_dir)
+    rescaled = matching.csls_rescale(scored, k=10).select(
+        "id_a", "id_b", F.col("csls").alias("score")
+    )
+    return matching.mutual_best(rescaled).select(
+        "id_a", "id_b", F.round("score", 6).alias("csls")
+    )
+
+
+Q_ER_CSLS_MUTUAL_SQL = (
+    f"WITH {_er_blocks_sql()}, {_er_pairs_sql()}, {_er_scores_sql()}, "
+    """
+  ra AS MATERIALIZED (
+    SELECT id_a, id_b, score,
+           row_number() OVER (PARTITION BY id_a ORDER BY score DESC, id_b ASC) AS rn
+    FROM final_scored
+  ),
+  rb AS MATERIALIZED (
+    SELECT id_a, id_b, score,
+           row_number() OVER (PARTITION BY id_b ORDER BY score DESC, id_a ASC) AS rn
+    FROM final_scored
+  ),
+  ma AS MATERIALIZED (SELECT id_a, avg(score) AS m FROM ra WHERE rn <= 10 GROUP BY id_a),
+  mb AS MATERIALIZED (SELECT id_b, avg(score) AS m FROM rb WHERE rn <= 10 GROUP BY id_b),
+  resc AS MATERIALIZED (
+    SELECT s.id_a, s.id_b, 2*s.score - ma.m - mb.m AS score
+    FROM final_scored s JOIN ma ON s.id_a = ma.id_a JOIN mb ON s.id_b = mb.id_b
+  ),
+  cba AS MATERIALIZED (SELECT id_a, id_b FROM (
+    SELECT id_a, id_b, row_number() OVER (PARTITION BY id_a ORDER BY score DESC, id_b ASC) AS rn
+    FROM resc) WHERE rn = 1),
+  cbb AS MATERIALIZED (SELECT id_a, id_b FROM (
+    SELECT id_a, id_b, row_number() OVER (PARTITION BY id_b ORDER BY score DESC, id_a ASC) AS rn
+    FROM resc) WHERE rn = 1)
+SELECT r.id_a, r.id_b, round(r.score, 6) AS csls FROM resc r
+JOIN cba USING (id_a, id_b) JOIN cbb USING (id_a, id_b)
+"""
+)
+
+
 # ---------------------------------------------------------------------------
 
 QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
@@ -1800,4 +1845,5 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "er_kernel_features": (q_er_kernel_features, None),
     "er_pairs_salted": (q_er_pairs_salted, Q_ER_PAIRS_SALTED_SQL),
     "er_truncated_candidates": (q_er_truncated_candidates, Q_ER_TRUNCATED_SQL),
+    "er_csls_mutual_best": (q_er_csls_mutual_best, Q_ER_CSLS_MUTUAL_SQL),
 }

@@ -119,3 +119,28 @@ def test_minhash_signature_pure_python_oracle(spark):
         spark.createDataFrame([(2, "ab")], "id long, text string"), "id", "text", num_perm=3
     ).first()
     assert [empty[f"s{i}"] for i in range(3)] == [MINHASH_PRIME] * 3
+
+
+def test_jaro_winkler_vectorized_hypothesis():
+    """Property: the numpy-vectorized batch JW is bit-identical to the
+    scalar reference on arbitrary unicode-ish strings."""
+    from hypothesis import given, settings, strategies as st
+    import numpy as np
+    import pandas as pd
+    from entity_matchers_spark.functions.similarity import (
+        _jaro_winkler_batch,
+        _jaro_winkler_one,
+    )
+
+    text = st.text(alphabet=st.characters(min_codepoint=32, max_codepoint=0x2FF), max_size=80)
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.lists(st.tuples(text, text), min_size=1, max_size=40))
+    def check(batch):
+        a = pd.Series([x for x, _ in batch])
+        b = pd.Series([y for _, y in batch])
+        got = _jaro_winkler_batch(a, b).to_numpy()
+        exp = np.array([_jaro_winkler_one(x, y) for x, y in batch])
+        assert (got == exp).all()
+
+    check()
