@@ -86,6 +86,41 @@ def cosine_similarity(a: Column, b: Column) -> Column:
     return F.when((na == 0) | (nb == 0), F.lit(0.0)).otherwise(dot / (na * nb))
 
 
+def inner_product(a: Column, b: Column) -> Column:
+    """Dot product — the reference's ``metric='inner'`` bulk similarity
+    (/root/reference/OpenEA_Mod/src/openea/modules/finding/
+    similarity.py:37-46 ``np.matmul(embed1, embed2.T)``), one pair per row
+    instead of a dense n1×n2 matrix. Native zip_with + aggregate."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def euclidean_similarity(a: Column, b: Column) -> Column:
+    """``1 - euclidean_distance`` — similarity.py:50-53
+    (``1 - euclidean_distances(embed1, embed2)``)."""
+    sq = F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x.cast("double") - y.cast("double"))
+                   * (x.cast("double") - y.cast("double"))),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    return F.lit(1.0) - F.sqrt(sq)
+
+
+def manhattan_similarity(a: Column, b: Column) -> Column:
+    """``1 - cityblock_distance`` — similarity.py:58-61; manhattan is the
+    best-config metric for RDGCN (args_best/rdgcn_args_DBP_YG_15K.json)."""
+    l1 = F.aggregate(
+        F.zip_with(a, b, lambda x, y: F.abs(x.cast("double") - y.cast("double"))),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    return F.lit(1.0) - l1
+
+
 def _codes_matrix(s: pd.Series, width: int) -> tuple[np.ndarray, np.ndarray]:
     """(n, width) int32 codepoint matrix (0-padded) + (n,) lengths — built
     with pandas C string kernels (pad + join + utf-32 decode), no per-row
@@ -245,6 +280,18 @@ def _jaccard_hashed_batch(sa: pd.Series, sb: pd.Series) -> pd.Series:
         return pd.Series([], dtype=np.float64)
     a_arrays = sa.to_numpy()
     b_arrays = sb.to_numpy()
+    # Null-safe: a null text column yields a None array element; treat it as
+    # empty for the math and emit null (NaN) for that row, matching the
+    # native expression's null-in -> null-out contract.
+    null_mask = np.fromiter(
+        (x is None or y is None for x, y in zip(a_arrays, b_arrays)),
+        dtype=bool,
+        count=n,
+    )
+    if null_mask.any():
+        empty = np.array([], dtype=np.int64)
+        a_arrays = np.array([empty if x is None else x for x in a_arrays], dtype=object)
+        b_arrays = np.array([empty if x is None else x for x in b_arrays], dtype=object)
     la = np.fromiter((len(x) for x in a_arrays), dtype=np.int64, count=n)
     lb = np.fromiter((len(x) for x in b_arrays), dtype=np.int64, count=n)
     rows_a = np.repeat(np.arange(n, dtype=np.uint64), la)
@@ -259,7 +306,10 @@ def _jaccard_hashed_batch(sa: pd.Series, sb: pd.Series) -> pd.Series:
     union = la + lb - inter
     with np.errstate(divide="ignore", invalid="ignore"):
         jac = inter / union.astype(np.float64)
-    return pd.Series(np.where(union > 0, jac, 0.0))
+    out = np.where(union > 0, jac, 0.0)
+    if null_mask.any():
+        out = np.where(null_mask, np.nan, out)
+    return pd.Series(out)
 
 
 @pandas_udf(DoubleType())

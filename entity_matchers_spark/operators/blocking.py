@@ -252,6 +252,99 @@ def topk_jaccard_candidates(
     )
 
 
+def weighted_topk_jaccard_cascade(
+    docs: DataFrame,
+    columns: list[tuple[str, float]],
+    id_col: str = "id",
+    k: int = 5,
+    max_block_size: int = 1000,
+    min_len: int = 3,
+    n: int = 3,
+) -> DataFrame:
+    """Weighted multi-column top-k Jaccard neighbor blocking — the
+    reference's coefficient cascade (/root/reference/deepmatcher/notebooks/
+    create_dataset_neighbor.py:42-45,74-105: names=1.0, other_attributes=
+    0.75, one_hop_names=0.5, one_hop_other_attributes=0.25, first level
+    where BOTH sides exceed ``min_len`` chars wins; score = that level's
+    char-3-gram Jaccard × its coefficient; top-``neighbors`` per entity).
+
+    ``columns``: [(column_name, coefficient)] in priority order.
+
+    Plan: one frequency-capped gram self-join per level runs in parallel
+    (candidates ∝ block sizes, never the n² scan-per-entity of the
+    reference's 20-process pool); the candidate union joins a single
+    per-id length/size table; the cascade is a CASE chain; window top-k.
+    Pairs are emitted in both directions (the reference scores a→b per
+    left entity). Zero-score pairs are dropped — identical positives, the
+    reference only pads ranks with arbitrary zero-score ids.
+    """
+    from pyspark.sql import Window
+
+    from entity_matchers_spark.functions.shingles import hashed_shingles
+
+    # one per-id meta table: length + distinct-gram count per level
+    meta_cols = [F.col(id_col).alias("id")]
+    for i, (c, _w) in enumerate(columns):
+        meta_cols.append(F.length(F.col(c)).alias(f"len{i}"))
+    meta = docs.select(*meta_cols)
+
+    jacs = []
+    for i, (c, _w) in enumerate(columns):
+        grams = docs.select(
+            F.col(id_col).alias("id"),
+            F.explode(hashed_shingles(F.lower(F.col(c)), n=n)).alias("block_id"),
+        )
+        sizes = grams.groupBy("id").agg(F.count("*").alias("sz"))
+        capped = cap_block_sizes(grams, max_block_size)
+        shared = (
+            capped.alias("l")
+            .join(capped.alias("r"), "block_id")
+            .where(F.col("l.id") != F.col("r.id"))
+            .groupBy(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
+            .agg(F.count("*").alias("shared"))
+        )
+        jac = (
+            shared.join(sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a")), "id_a")
+            .join(sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b")), "id_b")
+            .select(
+                "id_a",
+                "id_b",
+                (F.col("shared") / (F.col("sz_a") + F.col("sz_b") - F.col("shared")).cast("double")).alias(f"jac{i}"),
+            )
+        )
+        jacs.append(jac)
+
+    cands = jacs[0].select("id_a", "id_b")
+    for j in jacs[1:]:
+        cands = cands.unionAll(j.select("id_a", "id_b"))
+    cands = cands.distinct()
+
+    out = (
+        cands.join(meta.select(F.col("id").alias("id_a"), *[F.col(f"len{i}").alias(f"la{i}") for i in range(len(columns))]), "id_a")
+        .join(meta.select(F.col("id").alias("id_b"), *[F.col(f"len{i}").alias(f"lb{i}") for i in range(len(columns))]), "id_b")
+    )
+    for j in jacs:
+        out = out.join(j, ["id_a", "id_b"], "left")
+
+    score = F.lit(0.0)
+    level = F.lit(-1)
+    # build the CASE chain from lowest priority up so level 0 ends outermost
+    for i in range(len(columns) - 1, -1, -1):
+        usable = (F.col(f"la{i}") > min_len) & (F.col(f"lb{i}") > min_len)
+        score = F.when(usable, F.coalesce(F.col(f"jac{i}"), F.lit(0.0)) * columns[i][1]).otherwise(score)
+        level = F.when(usable, F.lit(i)).otherwise(level)
+
+    w = Window.partitionBy("id_a").orderBy(F.col("score").desc(), F.col("id_b").asc())
+    return (
+        out.withColumn("score", score)
+        .withColumn("level", level)
+        .where(F.col("score") > 0)
+        .withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+        .select("id_a", "id_b", "score", "level", "rnk")
+    )
+
+
 def salted_candidate_pairs(
     blocks: DataFrame,
     chunk_size: int = 64,

@@ -86,6 +86,68 @@ def ngram_jaccard_pairs(
     )
 
 
+def prefix_filtered_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """EXACT (id_a, id_b, jaccard) for char n-gram Jaccard ≥ threshold via
+    positional prefix filtering (the AllPairs/PPJoin bound) — no recall
+    loss, no stop-gram blow-up.
+
+    Every doc indexes only its ``|d| - ceil(t*|d|) + 1`` RAREST grams
+    (global document-frequency ascending, gram value as tie-break): any
+    pair with J ≥ t must share its globally-smallest common gram inside
+    BOTH prefixes, so the prefix-to-prefix equi-join finds every true pair.
+    Stop-grams ("the") are the most frequent grams and thus essentially
+    never appear in a prefix — the quadratic bucket the naive gram join
+    dies on at web scale simply doesn't form. Candidates are then verified
+    exactly with the vectorized sort-based Jaccard kernel over the full
+    gram arrays (same shape as the MinHash verify stage).
+
+    Replaces the frequency-capped join for the threshold family: the cap
+    turned near-clique corpora into 0 rows (every gram hot), while the
+    prefix bound adapts — rare-gram mass is exactly what discriminates.
+    """
+    from pyspark.sql import Window
+
+    from entity_matchers_spark.functions.shingles import hashed_shingles
+
+    grams_arr = df.select(
+        F.col(id_col).alias("id"),
+        hashed_shingles(F.lower(F.col(text_col)), n=n).alias("grams"),
+    ).withColumn("sz", F.size("grams"))
+    e = grams_arr.select("id", "sz", F.explode("grams").alias("g"))
+    dfreq = e.groupBy("g").agg(F.count("*").alias("df"))
+    w = Window.partitionBy("id").orderBy(F.col("df").asc(), F.col("g").asc())
+    prefix = (
+        e.join(dfreq, "g")
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1)
+        .select("id", "g")
+    )
+    cands = (
+        prefix.alias("l")
+        .join(prefix.alias("r"), "g")
+        .where(F.col("l.id") < F.col("r.id"))
+        .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
+        .distinct()
+    )
+    ga = grams_arr.select(F.col("id").alias("id_a"), F.col("grams").alias("ga"))
+    gb = grams_arr.select(F.col("id").alias("id_b"), F.col("grams").alias("gb"))
+    sc = df.sparkSession.sparkContext
+    return (
+        cands.repartition(3 * sc.defaultParallelism, "id_a", "id_b")
+        .join(ga, "id_a")
+        .join(gb, "id_b")
+        .withColumn("jaccard", jaccard_hashed_udf(F.col("ga"), F.col("gb")))
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
 def minhash_neardup_pairs(
     df: DataFrame,
     id_col: str = "doc_id",

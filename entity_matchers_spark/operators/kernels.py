@@ -25,6 +25,7 @@ the UDF is O(T^2 * D) per pair, fully vectorized.
 
 from __future__ import annotations
 
+import functools
 import hashlib
 
 import numpy as np
@@ -41,9 +42,14 @@ KERNEL_SIGMAS = [0.001] + [0.1] * 20
 NUM_KERNELS = len(KERNEL_MUS)  # 21 per pooling direction -> 42 features
 
 
+@functools.lru_cache(maxsize=65536)
 def _token_vector(token_hash: int, dim: int) -> np.ndarray:
     """Deterministic unit-norm embedding from the token hash: md5 bytes ->
-    centered floats -> L2 normalize. Any engine/worker reproduces it."""
+    centered floats -> L2 normalize. Any engine/worker reproduces it.
+
+    lru_cache (bounded) rather than an unbounded memo dict: on a
+    high-cardinality token space a per-worker vocab would otherwise grow
+    without bound over the worker's lifetime."""
     h = hashlib.md5(str(int(token_hash)).encode()).digest()
     raw = np.frombuffer((h * ((dim // 16) + 1))[:dim], dtype=np.uint8).astype(np.float64)
     v = raw - 127.5
@@ -69,9 +75,9 @@ def doc_token_hashes(df: DataFrame, id_col: str, text_col: str, max_tokens: int 
     return df.select(F.col(id_col).alias("id"), toks.alias("toks"))
 
 
-def _embed_batch(arrs: pd.Series, max_tokens: int, dim: int, vocab: dict) -> tuple[np.ndarray, np.ndarray]:
-    """(n, T, D) embedding tensor + (n, T) validity mask; memoized per-token
-    vectors (vocab is tiny relative to pair count)."""
+def _embed_batch(arrs: pd.Series, max_tokens: int, dim: int) -> tuple[np.ndarray, np.ndarray]:
+    """(n, T, D) embedding tensor + (n, T) validity mask; per-token vectors
+    come from the bounded ``_token_vector`` LRU cache."""
     n = len(arrs)
     out = np.zeros((n, max_tokens, dim), dtype=np.float64)
     mask = np.zeros((n, max_tokens), dtype=bool)
@@ -80,12 +86,7 @@ def _embed_batch(arrs: pd.Series, max_tokens: int, dim: int, vocab: dict) -> tup
             continue
         m = min(len(arr), max_tokens)
         for j in range(m):
-            t = int(arr[j])
-            v = vocab.get(t)
-            if v is None:
-                v = _token_vector(t, dim)
-                vocab[t] = v
-            out[i, j] = v
+            out[i, j] = _token_vector(int(arr[j]), dim)
         mask[i, :m] = True
     return out, mask
 
@@ -104,12 +105,10 @@ def _kernel_features(pooled: np.ndarray, mask: np.ndarray) -> np.ndarray:
 def kernel_features_udf(max_tokens: int = 32, dim: int = 16):
     """pandas UDF (toks_a, toks_b) -> array<double> of 42 kernel features
     (21 row-pooled + 21 col-pooled)."""
-    vocab: dict = {}
-
     @pandas_udf(ArrayType(DoubleType()))
     def _feats(ta: pd.Series, tb: pd.Series) -> pd.Series:
-        A, ma = _embed_batch(ta, max_tokens, dim, vocab)
-        B, mb = _embed_batch(tb, max_tokens, dim, vocab)
+        A, ma = _embed_batch(ta, max_tokens, dim)
+        B, mb = _embed_batch(tb, max_tokens, dim)
         sim = np.einsum("ntd,nsd->nts", A, B)  # cosine: vectors are unit-norm
         valid = ma[:, :, None] & mb[:, None, :]
         sim = np.where(valid, sim, -np.inf)

@@ -22,7 +22,12 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from entity_matchers_spark.functions.hashing import minhash_permutation_params
-from entity_matchers_spark.functions.similarity import cosine_similarity
+from entity_matchers_spark.functions.similarity import (
+    cosine_similarity,
+    euclidean_similarity,
+    inner_product,
+    manhattan_similarity,
+)
 
 
 def _rounded_cosine(a: Column, b: Column) -> Column:
@@ -58,6 +63,49 @@ def cosine_topk(
         scored.withColumn("rnk", F.row_number().over(w))
         .where(F.col("rnk") <= k)
         .select("query_id", "neighbor_id", "cos", "rnk")
+    )
+
+
+def multimetric_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    rank_metric: str = "manhattan",
+) -> DataFrame:
+    """(query_id, neighbor_id, inner, cos, euc, man, rnk) — the reference's
+    full bulk-similarity metric set (/root/reference/OpenEA_Mod/src/openea/
+    modules/finding/similarity.py:12-91: inner / cosine / 1-euclidean /
+    1-manhattan), ranked on ``rank_metric`` (manhattan = RDGCN's best
+    config, args_best/rdgcn_args_DBP_YG_15K.json).
+
+    Same plan shape as cosine_topk: broadcast query side, one streaming
+    stage computes all four metrics from a single pass over the pair's
+    vectors, window top-k. No n×n matrix, no UDF."""
+    from pyspark.sql import Window
+
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    qv, cv = F.col("qv"), F.col("cv")
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(inner_product(qv, cv), 6).alias("inner"),
+            F.round(cosine_similarity(qv, cv), 6).alias("cos"),
+            F.round(euclidean_similarity(qv, cv), 6).alias("euc"),
+            F.round(manhattan_similarity(qv, cv), 6).alias("man"),
+        )
+    )
+    rank_col = {"inner": "inner", "cosine": "cos", "euclidean": "euc", "manhattan": "man"}[rank_metric]
+    w = Window.partitionBy("query_id").orderBy(F.col(rank_col).desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id", "inner", "cos", "euc", "man", "rnk")
     )
 
 

@@ -91,6 +91,13 @@ def prune_links_and_triples(
         new_t1 = remove_unlinked_triples(triples1, e1)
         new_t2 = remove_unlinked_triples(triples2, e2)
         new_links = links_with_triples(links_with_triples(links, new_t1, "e1"), new_t2, "e2")
+        # Each round references the previous round's links/triples 3-5x;
+        # without lineage truncation Spark re-executes the shared subtrees
+        # multiplicatively (~5^rounds leaf scans). Materialize every round,
+        # mirroring the clustering loop (clustering.py).
+        new_t1 = new_t1.localCheckpoint(eager=True)
+        new_t2 = new_t2.localCheckpoint(eager=True)
+        new_links = new_links.localCheckpoint(eager=True)
         if fixed_iterations is None:
             before = links.count()
             after = new_links.count()

@@ -308,9 +308,9 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q_PRICING_SQL = """
 SELECT l_returnflag, l_linestatus,
-  sum(l_quantity::DECIMAL(20,2)) AS sum_qty,
-  sum(l_extendedprice::DECIMAL(20,2)) AS sum_base_price,
-  sum((l_extendedprice::DECIMAL(20,2) * (1::DECIMAL(20,2) - l_discount::DECIMAL(20,2)))::DECIMAL(20,4)) AS sum_disc_price,
+  sum(l_quantity::DECIMAL(20,2))::DECIMAL(30,2) AS sum_qty,
+  sum(l_extendedprice::DECIMAL(20,2))::DECIMAL(30,2) AS sum_base_price,
+  sum((l_extendedprice::DECIMAL(20,2) * (1::DECIMAL(20,2) - l_discount::DECIMAL(20,2)))::DECIMAL(20,4))::DECIMAL(30,4) AS sum_disc_price,
   count(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= '1998-09-02'
@@ -342,7 +342,7 @@ def q_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q_TOP_REVENUE_SQL = """
 SELECT o_orderkey, o_orderdate,
-  sum((l_extendedprice::DECIMAL(20,2) * (1::DECIMAL(20,2) - l_discount::DECIMAL(20,2)))::DECIMAL(20,4)) AS revenue
+  sum((l_extendedprice::DECIMAL(20,2) * (1::DECIMAL(20,2) - l_discount::DECIMAL(20,2)))::DECIMAL(20,4))::DECIMAL(30,4) AS revenue
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -411,7 +411,7 @@ def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q_EVENTS_HOURLY_SQL = """
 SELECT date_trunc('hour', ts) AS hour, event_type,
-       count(*) AS n_events, sum(value::DECIMAL(20,6)) AS sum_value
+       count(*) AS n_events, sum(value::DECIMAL(20,6))::DECIMAL(30,6) AS sum_value
 FROM events GROUP BY 1, 2
 """
 
@@ -539,18 +539,28 @@ FROM documents GROUP BY 1
 """
 
 
-def q_neardup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact char-3-gram Jaccard near-dup pairs (J ≥ 0.5) via gram-explode
-    join — the exact baseline the LSH path approximates."""
-    from entity_matchers_spark.operators.dedup import ngram_jaccard_pairs
+# Stop-gram frequency cap for the exact gram self-joins: a gram appearing
+# in more documents than this is dropped from the JOIN (denominators keep
+# the full gram-set sizes, so the resulting Jaccard is a lower bound that
+# only loses mass carried by non-discriminative stop-grams). On web text a
+# single stop-gram bucket ("the") is quadratic in corpus size — an uncapped
+# join dies at 100x; the capped join's worst task is cap^2.
+GRAM_JOIN_CAP = 256
 
-    return ngram_jaccard_pairs(
-        _docs(spark, sf_dir), threshold=0.5, max_block_size=1_000_000
-    )
+
+def q_neardup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT char-3-gram Jaccard near-dup pairs (J ≥ 0.5) via positional
+    prefix filtering (AllPairs/PPJoin bound): only each doc's rarest
+    ``(1-t)|d|+1`` grams are indexed, so stop-gram buckets never form,
+    yet the oracle below is the full all-pairs Jaccard — the gate proves
+    zero recall loss."""
+    from entity_matchers_spark.operators.dedup import prefix_filtered_jaccard_pairs
+
+    return prefix_filtered_jaccard_pairs(_docs(spark, sf_dir), threshold=0.5)
 
 
 Q_NEARDUP_JACCARD_SQL = """
-WITH g AS (
+WITH g AS MATERIALIZED (
   SELECT doc_id AS id,
          list_distinct([('0x'||substr(md5(substr(t, i, 3)),1,8))::UBIGINT::BIGINT
                         for i in range(1, len(t)-1)]) AS grams
@@ -795,13 +805,88 @@ SELECT query_id, neighbor_id, cos, rnk FROM (
 
 
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH-bucketed approximate top-5 (rows-only check: candidate set is
-    LSH-dependent by design; quality is asserted in tests vs brute force)."""
+    """LSH-bucketed approximate top-5. The plane signs are deterministic
+    plan constants (seeded LCG), so the oracle below reproduces the exact
+    bucketing in DuckDB — full value check, not rows-only."""
     from entity_matchers_spark.operators.similarity_search import lsh_ann_topk
 
     emb = _read(spark, sf_dir, "embeddings")
     qs = emb.where(F.col("vec_id") % 50 == 0)
     return lsh_ann_topk(emb, qs, k=5)
+
+
+def _ann_lsh_sql(dim: int = 64, num_planes: int = 8, num_tables: int = 4, seed: int = 11037) -> str:
+    """DuckDB oracle for the hyperplane-LSH query: embeds the same ±1 plane
+    matrix as SQL literals, packs per-table sign bits into the identical
+    ``t<t>:<code>`` bucket keys, same-bucket join, 6-dp cosine top-5."""
+    from entity_matchers_spark.operators.similarity_search import _plane_signs
+
+    planes = _plane_signs(dim, num_planes, num_tables, seed)
+    bucket_exprs = []
+    for t in range(num_tables):
+        bits = []
+        for p in range(num_planes):
+            lits = ",".join(str(s) for s in planes[t * num_planes + p])
+            bits.append(
+                f"(CASE WHEN list_dot_product(v, [{lits}]) > 0 THEN {1 << p} ELSE 0 END)"
+            )
+        bucket_exprs.append(f"'t{t}:' || ({' + '.join(bits)})::VARCHAR")
+    return f"""
+WITH emb AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+keys AS MATERIALIZED (
+  SELECT vec_id, unnest([{", ".join(bucket_exprs)}]) AS bucket FROM emb
+),
+cands AS MATERIALIZED (
+  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+  FROM keys q JOIN keys c USING (bucket)
+  WHERE q.vec_id % 50 = 0 AND q.vec_id != c.vec_id
+),
+scored AS (
+  SELECT cands.query_id, cands.neighbor_id,
+         round(list_cosine_similarity(ec.v, eq.v), 6) AS cos
+  FROM cands
+  JOIN emb eq ON eq.vec_id = cands.query_id
+  JOIN emb ec ON ec.vec_id = cands.neighbor_id
+)
+SELECT query_id, neighbor_id, cos, rnk FROM (
+  SELECT query_id, neighbor_id, cos,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rnk
+  FROM scored
+) WHERE rnk <= 5
+"""
+
+
+Q_ANN_LSH_SQL = _ann_lsh_sql()
+
+
+def q_ann_multimetric(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full bulk-similarity metric set (inner/cosine/euclidean/manhattan,
+    similarity.py:12-91) for the query vectors, manhattan-ranked top-5."""
+    from entity_matchers_spark.operators.similarity_search import multimetric_topk
+
+    emb = _read(spark, sf_dir, "embeddings")
+    qs = emb.where(F.col("vec_id") % 50 == 0)
+    return multimetric_topk(emb, qs, k=5, rank_metric="manhattan")
+
+
+Q_ANN_MULTIMETRIC_SQL = """
+WITH emb AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+q AS MATERIALIZED (SELECT vec_id AS query_id, v AS qv FROM emb WHERE vec_id % 50 = 0),
+scored AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id,
+    round(list_dot_product(q.qv, c.v), 6) AS "inner",
+    round(list_cosine_similarity(q.qv, c.v), 6) AS cos,
+    round(1.0 - list_distance(q.qv, c.v), 6) AS euc,
+    round(1.0 - list_sum(list_transform(list_zip(q.qv, c.v), x -> abs(x[1] - x[2]))), 6) AS man
+  FROM emb c, q
+  WHERE q.query_id != c.vec_id
+)
+SELECT query_id, neighbor_id, "inner", cos, euc, man, rnk FROM (
+  SELECT query_id, neighbor_id, "inner", cos, euc, man,
+         row_number() OVER (PARTITION BY query_id ORDER BY man DESC, neighbor_id ASC) AS rnk
+  FROM scored
+) WHERE rnk <= 5
+"""
 
 
 # --- eval / rescaling on the ER chain -----------------------------------------
@@ -1139,6 +1224,129 @@ FROM supplier
 """
 
 
+def q_length_threshold_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column length-threshold table filters + relation slash-stripping
+    (/root/reference/deepmatcher/notebooks/
+    create_dataset_deepmatchers.py:311-335: names kept at len ≥ 7, every
+    other column at len ≥ 3; relation tokens reduced to their URI tail).
+    One row per doc with the per-table keep flags — the filtered tables are
+    ``WHERE <flag>`` projections of this."""
+    docs = _docs(spark, sf_dir)
+    names = F.substring("text", 1, 40)
+    other = F.substring("text", 41, 120)
+    hop_names = F.substring("text", 161, 80)
+    relations = F.concat(F.lit("cat/"), F.col("source"), F.lit(" lang/"), F.col("lang"))
+    rel_clean = F.array_join(
+        F.transform(F.split(relations, " "), lambda t: F.element_at(F.split(t, "/"), -1)),
+        " ",
+    )
+    return docs.select(
+        "doc_id",
+        (F.length(names) >= 7).alias("names_ok"),
+        (F.length(other) >= 3).alias("other_ok"),
+        (F.length(hop_names) >= 3).alias("hop_names_ok"),
+        rel_clean.alias("relations_clean"),
+        (F.length(rel_clean) >= 3).alias("relations_ok"),
+    )
+
+
+Q_LENGTH_THRESHOLD_SQL = """
+SELECT doc_id,
+       len(substr(text, 1, 40)) >= 7 AS names_ok,
+       len(substr(text, 41, 120)) >= 3 AS other_ok,
+       len(substr(text, 161, 80)) >= 3 AS hop_names_ok,
+       array_to_string(
+         list_transform(string_split('cat/' || source || ' lang/' || lang, ' '),
+                        t -> string_split(t, '/')[-1]), ' ') AS relations_clean,
+       len(array_to_string(
+         list_transform(string_split('cat/' || source || ' lang/' || lang, ' '),
+                        t -> string_split(t, '/')[-1]), ' ')) >= 3 AS relations_ok
+FROM documents
+"""
+
+
+def q_name_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Name-attribute removal ablation (/root/reference/src/
+    preprocess_datasets/remove_names.py:5-31: drop attr triples whose
+    predicate is in the dataset's name-predicate set) over the same derived
+    attr table as name_selection."""
+    part = _read(spark, sf_dir, "part")
+    attrs = (
+        part.select(F.col("p_partkey").cast("string").alias("ent"), F.lit("name").alias("attr"), F.col("p_name").alias("value"))
+        .unionAll(part.select(F.col("p_partkey").cast("string"), F.lit("altLabel"), F.col("p_name")))
+        .unionAll(part.select(F.col("p_partkey").cast("string"), F.lit("brand"), F.col("p_brand")))
+        .unionAll(part.select(F.col("p_partkey").cast("string"), F.lit("type"), F.col("p_type")))
+    )
+    names_to_remove = ["name", "altLabel"]
+    return attrs.where(~F.col("attr").isin(*names_to_remove))
+
+
+Q_NAME_REMOVAL_SQL = """
+WITH attrs AS (
+  SELECT p_partkey::VARCHAR AS ent, 'name' AS attr, p_name AS value FROM part
+  UNION ALL SELECT p_partkey::VARCHAR, 'altLabel', p_name FROM part
+  UNION ALL SELECT p_partkey::VARCHAR, 'brand', p_brand FROM part
+  UNION ALL SELECT p_partkey::VARCHAR, 'type', p_type FROM part
+)
+SELECT ent, attr, value FROM attrs WHERE attr NOT IN ('name', 'altLabel')
+"""
+
+
+def q_sample_validity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sampled-KG validity invariant (/root/reference/SampKG-OpenEA/
+    check_sample.py:5-26): no out-of-sample truth link may have BOTH
+    endpoints surviving in the sampled KGs — one row: out-truth size,
+    violation count, validity flag. Sample = links whose seeded-hash parity
+    is even; sampled KGs = triples pruned to the sampled link endpoints."""
+    t1, t2, links = _kg_spark(spark, sf_dir)
+    from entity_matchers_spark.operators.triples import remove_unlinked_triples
+
+    sample = links.where(
+        F.conv(F.substring(F.md5(F.concat(F.lit("samp-v1"), "e1", F.lit("|"), "e2")), 1, 8), 16, 10)
+        .cast("long") % 2 == 0
+    )
+    out_truth = links.join(sample, ["e1", "e2"], "left_anti")
+    t1s = remove_unlinked_triples(t1, sample.select(F.col("e1").alias("e")))
+    t2s = remove_unlinked_triples(t2, sample.select(F.col("e2").alias("e")))
+    ents1 = t1s.select(F.col("h").alias("e")).unionAll(t1s.select(F.col("t").alias("e"))).distinct()
+    ents2 = t2s.select(F.col("h").alias("e")).unionAll(t2s.select(F.col("t").alias("e"))).distinct()
+    viol = (
+        out_truth.join(ents1.withColumnRenamed("e", "e1"), "e1", "left_semi")
+        .join(ents2.withColumnRenamed("e", "e2"), "e2", "left_semi")
+    )
+    return out_truth.agg(F.count("*").alias("n_out_truth")).crossJoin(
+        viol.agg(F.count("*").alias("n_violations"))
+    ).select("n_out_truth", "n_violations", (F.col("n_violations") == 0).alias("valid"))
+
+
+Q_SAMPLE_VALIDITY_SQL = (
+    f"WITH {_KG_SQL_CTES},"
+    """
+  sample AS MATERIALIZED (
+    SELECT e1, e2 FROM l0
+    WHERE ('0x' || substr(md5('samp-v1' || e1 || '|' || e2), 1, 8))::UBIGINT::BIGINT % 2 = 0
+  ),
+  out_truth AS MATERIALIZED (
+    SELECT e1, e2 FROM l0 o
+    WHERE NOT EXISTS (SELECT 1 FROM sample s WHERE s.e1 = o.e1 AND s.e2 = o.e2)
+  ),
+  se1 AS (SELECT DISTINCT e1 AS e FROM sample),
+  se2 AS (SELECT DISTINCT e2 AS e FROM sample),
+  t1s AS (SELECT * FROM t1 WHERE h IN (SELECT e FROM se1) AND t IN (SELECT e FROM se1)),
+  t2s AS (SELECT * FROM t2 WHERE h IN (SELECT e FROM se2) AND t IN (SELECT e FROM se2)),
+  ents1 AS (SELECT h AS e FROM t1s UNION SELECT t FROM t1s),
+  ents2 AS (SELECT h AS e FROM t2s UNION SELECT t FROM t2s),
+  viol AS (
+    SELECT * FROM out_truth
+    WHERE e1 IN (SELECT e FROM ents1) AND e2 IN (SELECT e FROM ents2)
+  )
+SELECT (SELECT count(*) FROM out_truth) AS n_out_truth,
+       (SELECT count(*) FROM viol) AS n_violations,
+       (SELECT count(*) FROM viol) = 0 AS valid
+"""
+)
+
+
 
 
 # --- matching / evaluation extensions (SURVEY.md §2.5-2.6) -------------------
@@ -1374,8 +1582,8 @@ Q_ER_KFOLD_SQL = (
       ON a.id_a = t.id_a AND a.id_b = t.id_b AND a.fold = t.fold
   ),
   per_fold AS (
-    SELECT fold, sum(CASE WHEN in_a = 1 AND in_t = 1 THEN 1 ELSE 0 END) AS tp,
-           sum(in_a) AS n_align, sum(in_t) AS n_truth
+    SELECT fold, sum(CASE WHEN in_a = 1 AND in_t = 1 THEN 1 ELSE 0 END)::BIGINT AS tp,
+           sum(in_a)::BIGINT AS n_align, sum(in_t)::BIGINT AS n_truth
     FROM j GROUP BY fold
   )
 SELECT fold, tp, n_align, n_truth,
@@ -1502,6 +1710,20 @@ FROM s GROUP BY user_id, sid
 """
 
 
+def q_sessionize_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REAL stateful streaming sessionizer (applyInPandasWithState,
+    O(1) state per user, sessions closed by data via an end-of-stream
+    sentinel trigger) — same gap-islands oracle as the batch query, so the
+    gate proves batch/stream parity value-for-value."""
+    from entity_matchers_spark.streaming.events import run_sessionize_stateful
+
+    out = run_sessionize_stateful(spark, f"{sf_dir}/events.parquet", gap_minutes=30)
+    return out.select(
+        "user_id", "session_start", "session_end", "n_events",
+        F.round("sum_value", 6).alias("sum_value"),
+    )
+
+
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-payload feature plumbing: documents as opaque media payloads →
     mapInPandas deterministic feature extraction (decode stubbed; schema,
@@ -1594,21 +1816,25 @@ def q_topk_jaccard_blocking(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("id"),
         F.explode(hashed_shingles(F.lower(F.substring("text", 1, 300)))).alias("block_id"),
     )
-    out = topk_jaccard_candidates(grams, k=5, max_block_size=1_000_000)
+    out = topk_jaccard_candidates(grams, k=5, max_block_size=GRAM_JOIN_CAP)
     return out.select("id_a", "id_b", F.round("jaccard", 9).alias("jaccard"), "rnk")
 
 
-Q_TOPK_JACCARD_SQL = """
-WITH g AS (
+Q_TOPK_JACCARD_SQL = f"""
+WITH g AS MATERIALIZED (
   SELECT doc_id AS id,
          list_distinct([('0x'||substr(md5(substr(t, i, 3)),1,8))::UBIGINT::BIGINT
                         for i in range(1, len(t)-1)]) AS grams
   FROM (SELECT doc_id, lower(substr(text, 1, 300)) AS t FROM documents)
 ),
-e AS (SELECT id, unnest(grams) AS gr FROM g),
+e AS MATERIALIZED (SELECT id, unnest(grams) AS gr FROM g),
+ec AS MATERIALIZED (
+  SELECT id, gr FROM e
+  WHERE gr NOT IN (SELECT gr FROM e GROUP BY gr HAVING count(*) > {GRAM_JOIN_CAP})
+),
 shared AS (
   SELECT l.id AS id_a, r.id AS id_b, count(*) AS shared
-  FROM e l JOIN e r ON l.gr = r.gr AND l.id != r.id
+  FROM ec l JOIN ec r ON l.gr = r.gr AND l.id != r.id
   GROUP BY l.id, r.id
 ),
 sz AS (SELECT id, len(grams) AS sz FROM g),
@@ -1622,6 +1848,118 @@ SELECT id_a, id_b, round(jaccard, 9) AS jaccard, rnk FROM (
          row_number() OVER (PARTITION BY id_a ORDER BY jaccard DESC, id_b ASC) AS rnk
   FROM scored) WHERE rnk <= 5
 """
+
+
+# Weighted cascade levels (create_dataset_neighbor.py:42-45): the documents
+# table has one text column, so the four reference columns are derived
+# deterministically — names/other blanked on doc_id multiples so the
+# cascade's fallback levels are actually exercised in both engines.
+_CASCADE_LEVELS = [
+    # (spark builder, duckdb expr, coefficient)
+    (lambda: F.when(F.col("doc_id") % 3 == 0, F.lit("")).otherwise(F.substring("text", 1, 40)),
+     "CASE WHEN doc_id % 3 = 0 THEN '' ELSE substr(text, 1, 40) END", 1.0),
+    (lambda: F.when(F.col("doc_id") % 4 == 0, F.lit("")).otherwise(F.substring("text", 41, 120)),
+     "CASE WHEN doc_id % 4 = 0 THEN '' ELSE substr(text, 41, 120) END", 0.75),
+    (lambda: F.substring("text", 161, 80), "substr(text, 161, 80)", 0.5),
+    (lambda: F.substring("text", 241, 80), "substr(text, 241, 80)", 0.25),
+]
+
+
+def q_jaccard_cascade_blocking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted multi-column top-k Jaccard cascade blocking with the
+    reference's 1.0/0.75/0.5/0.25 coefficient set."""
+    from entity_matchers_spark.operators.blocking import weighted_topk_jaccard_cascade
+
+    docs = _docs(spark, sf_dir)
+    derived = docs.select(
+        "doc_id",
+        *[build().alias(f"c{i}") for i, (build, _sql, _w) in enumerate(_CASCADE_LEVELS)],
+    )
+    out = weighted_topk_jaccard_cascade(
+        derived,
+        [(f"c{i}", w) for i, (_b, _sql, w) in enumerate(_CASCADE_LEVELS)],
+        id_col="doc_id",
+        k=5,
+        max_block_size=GRAM_JOIN_CAP,
+    )
+    return out.select("id_a", "id_b", F.round("score", 9).alias("score"), "level", "rnk")
+
+
+def _cascade_sql(k: int = 5, cap: int | None = None, min_len: int = 3) -> str:
+    cap = cap if cap is not None else GRAM_JOIN_CAP
+    ctes = []
+    for i, (_b, expr, _w) in enumerate(_CASCADE_LEVELS):
+        ctes.append(f"""
+  g{i} AS MATERIALIZED (
+    SELECT doc_id AS id, len({expr}) AS l,
+           list_distinct([('0x'||substr(md5(substr(t, p, 3)),1,8))::UBIGINT::BIGINT
+                          for p in range(1, len(t)-1)]) AS grams
+    FROM (SELECT doc_id, text, lower({expr}) AS t FROM documents)
+  ),
+  e{i} AS MATERIALIZED (SELECT id, unnest(grams) AS gr FROM g{i}),
+  ec{i} AS MATERIALIZED (
+    SELECT id, gr FROM e{i}
+    WHERE gr NOT IN (SELECT gr FROM e{i} GROUP BY gr HAVING count(*) > {cap})
+  ),
+  sh{i} AS MATERIALIZED (
+    SELECT l.id AS id_a, r.id AS id_b, count(*) AS shared
+    FROM ec{i} l JOIN ec{i} r ON l.gr = r.gr AND l.id != r.id
+    GROUP BY l.id, r.id
+  ),
+  j{i} AS MATERIALIZED (
+    SELECT sh{i}.id_a, sh{i}.id_b,
+           shared / (sa.sz + sb.sz - shared)::DOUBLE AS jac
+    FROM sh{i}
+    JOIN (SELECT id, len(grams) AS sz FROM g{i}) sa ON sh{i}.id_a = sa.id
+    JOIN (SELECT id, len(grams) AS sz FROM g{i}) sb ON sh{i}.id_b = sb.id
+  )""")
+    union = "\n    UNION\n    ".join(
+        f"SELECT id_a, id_b FROM j{i}" for i in range(len(_CASCADE_LEVELS))
+    )
+    score_arms = "\n         ".join(
+        f"WHEN ma.l{i} > {min_len} AND mb.l{i} > {min_len} THEN coalesce(j{i}.jac, 0) * {w}"
+        for i, (_b, _e, w) in enumerate(_CASCADE_LEVELS)
+    )
+    level_arms = "\n         ".join(
+        f"WHEN ma.l{i} > {min_len} AND mb.l{i} > {min_len} THEN {i}"
+        for i in range(len(_CASCADE_LEVELS))
+    )
+    jac_joins = "\n  ".join(
+        f"LEFT JOIN j{i} ON c.id_a = j{i}.id_a AND c.id_b = j{i}.id_b"
+        for i in range(len(_CASCADE_LEVELS))
+    )
+    meta = ", ".join(
+        f"g{i}.l AS l{i}" for i in range(len(_CASCADE_LEVELS))
+    )
+    meta_joins = " ".join(
+        f"JOIN g{i} ON g0.id = g{i}.id" for i in range(1, len(_CASCADE_LEVELS))
+    )
+    return f"""
+WITH {",".join(ctes)},
+  m AS MATERIALIZED (SELECT g0.id, {meta} FROM g0 {meta_joins}),
+  cand AS MATERIALIZED (
+    {union}
+  ),
+  scored AS (
+    SELECT c.id_a, c.id_b,
+      CASE {score_arms}
+           ELSE 0 END AS score,
+      CASE {level_arms}
+           ELSE -1 END AS level
+    FROM cand c
+    JOIN m ma ON c.id_a = ma.id
+    JOIN m mb ON c.id_b = mb.id
+  {jac_joins}
+  )
+SELECT id_a, id_b, round(score, 9) AS score, level, rnk FROM (
+  SELECT id_a, id_b, score, level,
+         row_number() OVER (PARTITION BY id_a ORDER BY score DESC, id_b ASC) AS rnk
+  FROM scored WHERE score > 0
+) WHERE rnk <= {k}
+"""
+
+
+Q_JACCARD_CASCADE_SQL = _cascade_sql()
 
 
 def q_blocking_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1641,8 +1979,8 @@ Q_BLOCKING_AUDIT_SQL = (
     f"WITH {_er_blocks_sql()}, "
     f"""
   sizes AS (SELECT block_id, count(*) AS n FROM blocks GROUP BY block_id)
-SELECT count(*) AS num_blocks, sum(n) AS total_keys, max(n) AS max_block,
-       sum(CASE WHEN n > {ER_CAP} THEN n ELSE 0 END) AS capped_keys,
+SELECT count(*) AS num_blocks, sum(n)::BIGINT AS total_keys, max(n) AS max_block,
+       sum(CASE WHEN n > {ER_CAP} THEN n ELSE 0 END)::BIGINT AS capped_keys,
        round(sum(n * (n - 1) / 2.0), 1) AS pair_budget
 FROM sizes
 """
@@ -1653,9 +1991,11 @@ FROM sizes
 
 def q_er_kernel_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Kernel-pooled set-similarity features (BERT-INT dual aggregation,
-    dual_aggregation_func.py:7-54) over the blocked candidate pairs —
-    genuinely non-SQL (einsum over padded tensors), so rows-only check;
-    exactness is pinned by a pure-numpy scalar reference in tests."""
+    dual_aggregation_func.py:7-54) over the blocked candidate pairs. The
+    einsum over padded tensors decomposes exactly into unnest + max + sum
+    in SQL, so the oracle below checks 3 of the 42 features value-for-value
+    (exact-match row/col kernels + one mid kernel); the full 42-feature
+    math is additionally pinned by a pure-numpy scalar reference in tests."""
     from entity_matchers_spark.operators.kernels import kernel_pooled_features
 
     docs = _docs(spark, sf_dir)
@@ -1667,6 +2007,85 @@ def q_er_kernel_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.element_at("kernel_feats", 22), 6).alias("k_exact_col"),
         F.round(F.element_at("kernel_feats", 12), 6).alias("k_mid_row"),
     )
+
+
+def _er_kernel_sql(max_tokens: int = 32, dim: int = 16) -> str:
+    """DuckDB oracle for the kernel features: same md5 token hashes
+    (doc_token_hashes), same md5-byte unit-norm token vectors
+    (_token_vector), unnest-decomposed max-pool + RBF-kernel log-sums.
+
+    Kernel indices checked: feature 1 = row kernel mu=1.0 sigma=0.001,
+    feature 22 = col kernel mu=1.0 sigma=0.001, feature 12 = row kernel
+    mu=0.05 sigma=0.1 (KNRM binning, kernels.py KERNEL_MUS/SIGMAS)."""
+    return (
+        f"WITH {_er_blocks_sql()}, {_er_pairs_sql()}, "
+        f"""
+  ktoks AS MATERIALIZED (
+    SELECT doc_id AS id,
+           (list_sort(list_distinct(
+              [('0x'||substr(md5(t),1,8))::UBIGINT::BIGINT
+               for t in list_filter(string_split_regex(lower(text), '\\s+'),
+                                    x -> x != '')]
+           )))[1:{max_tokens}] AS toks
+    FROM documents
+  ),
+  tokh AS MATERIALIZED (
+    SELECT DISTINCT unnest(toks) AS h FROM ktoks
+  ),
+  tokraw AS MATERIALIZED (
+    SELECT h,
+           [('0x'||substr(md5(h::VARCHAR), 2*i+1, 2))::UBIGINT::DOUBLE - 127.5
+            for i in range(0, {dim})] AS raw
+    FROM tokh
+  ),
+  tokvec AS MATERIALIZED (
+    SELECT h,
+           CASE WHEN nrm = 0 THEN raw
+                ELSE list_transform(raw, x -> x / nrm) END AS vec
+    FROM (SELECT h, raw, sqrt(list_sum(list_transform(raw, x -> x*x))) AS nrm
+          FROM tokraw)
+  ),
+  pa AS MATERIALIZED (
+    SELECT p.id_a, p.id_b, unnest(ta.toks) AS ha
+    FROM pairs p JOIN ktoks ta ON ta.id = p.id_a
+  ),
+  pb AS MATERIALIZED (
+    SELECT p.id_a, p.id_b, unnest(tb.toks) AS hb
+    FROM pairs p JOIN ktoks tb ON tb.id = p.id_b
+  ),
+  sims AS MATERIALIZED (
+    SELECT x.id_a, x.id_b, x.ha, y.hb,
+           list_dot_product(va.vec, vb.vec) AS sim
+    FROM pa x
+    JOIN pb y USING (id_a, id_b)
+    JOIN tokvec va ON va.h = x.ha
+    JOIN tokvec vb ON vb.h = y.hb
+  ),
+  rowpool AS (SELECT id_a, id_b, ha, max(sim) AS m FROM sims GROUP BY 1, 2, 3),
+  colpool AS (SELECT id_a, id_b, hb, max(sim) AS m FROM sims GROUP BY 1, 2, 3),
+  rowk AS (
+    SELECT id_a, id_b,
+           ln(1 + sum(exp(-((m - 1.0)^2) / (2 * 0.001 * 0.001)))) AS k_exact_row,
+           ln(1 + sum(exp(-((m - 0.05)^2) / (2 * 0.1 * 0.1)))) AS k_mid_row
+    FROM rowpool GROUP BY 1, 2
+  ),
+  colk AS (
+    SELECT id_a, id_b,
+           ln(1 + sum(exp(-((m - 1.0)^2) / (2 * 0.001 * 0.001)))) AS k_exact_col
+    FROM colpool GROUP BY 1, 2
+  )
+SELECT p.id_a, p.id_b,
+       round(coalesce(rowk.k_exact_row, 0), 6) AS k_exact_row,
+       round(coalesce(colk.k_exact_col, 0), 6) AS k_exact_col,
+       round(coalesce(rowk.k_mid_row, 0), 6) AS k_mid_row
+FROM pairs p
+LEFT JOIN rowk USING (id_a, id_b)
+LEFT JOIN colk USING (id_a, id_b)
+"""
+    )
+
+
+Q_ER_KERNEL_SQL = _er_kernel_sql()
 
 
 
@@ -1819,7 +2238,8 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "quality_features": (q_quality_features, Q_QUALITY_SQL),
     "token_counts": (q_token_counts, Q_TOKEN_COUNTS_SQL),
     "ann_cosine_topk": (q_ann_cosine_topk, Q_ANN_COSINE_SQL),
-    "ann_lsh_topk": (q_ann_lsh_topk, None),
+    "ann_lsh_topk": (q_ann_lsh_topk, Q_ANN_LSH_SQL),
+    "ann_multimetric": (q_ann_multimetric, Q_ANN_MULTIMETRIC_SQL),
     "triples_parse_stats": (q_triples_parse_stats, Q_TRIPLES_PARSE_SQL),
     "triples_remove_unlinked": (q_triples_remove_unlinked, Q_TRIPLES_REMOVE_UNLINKED_SQL),
     "links_fixpoint": (q_links_fixpoint, Q_LINKS_FIXPOINT_SQL),
@@ -1835,14 +2255,19 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "predicate_alignment": (q_predicate_alignment, Q_PREDICATE_ALIGN_SQL),
     "er_kfold_eval": (q_er_kfold_eval, Q_ER_KFOLD_SQL),
     "imuse_attr_overlap": (q_imuse_attr_overlap, Q_IMUSE_SQL),
+    "length_threshold_tables": (q_length_threshold_tables, Q_LENGTH_THRESHOLD_SQL),
+    "name_removal": (q_name_removal, Q_NAME_REMOVAL_SQL),
+    "sample_validity": (q_sample_validity, Q_SAMPLE_VALIDITY_SQL),
     "stream_windowed_counts": (q_stream_windowed_counts, Q_STREAM_WINDOWED_SQL),
     "stream_dedup": (q_stream_dedup, Q_STREAM_DEDUP_SQL),
     "sessionize": (q_sessionize, Q_SESSIONIZE_SQL),
     "multimodal_features": (q_multimodal_features, Q_MULTIMODAL_SQL),
     "pagerank": (q_pagerank, Q_PAGERANK_SQL),
     "topk_jaccard_blocking": (q_topk_jaccard_blocking, Q_TOPK_JACCARD_SQL),
+    "jaccard_cascade_blocking": (q_jaccard_cascade_blocking, Q_JACCARD_CASCADE_SQL),
+    "sessionize_stateful": (q_sessionize_stateful, Q_SESSIONIZE_SQL),
     "blocking_audit": (q_blocking_audit, Q_BLOCKING_AUDIT_SQL),
-    "er_kernel_features": (q_er_kernel_features, None),
+    "er_kernel_features": (q_er_kernel_features, Q_ER_KERNEL_SQL),
     "er_pairs_salted": (q_er_pairs_salted, Q_ER_PAIRS_SALTED_SQL),
     "er_truncated_candidates": (q_er_truncated_candidates, Q_ER_TRUNCATED_SQL),
     "er_csls_mutual_best": (q_er_csls_mutual_best, Q_ER_CSLS_MUTUAL_SQL),

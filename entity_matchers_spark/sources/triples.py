@@ -42,19 +42,32 @@ LINK_SCHEMA = StructType(
 )
 
 
-def read_relation_triples(spark: SparkSession, path: str, strict: bool = True) -> DataFrame:
-    """(h, r, t) from a tab-separated file. ``strict`` mirrors the
-    reference's 3-field assert: any row with a null field fails the read;
-    otherwise malformed rows are dropped."""
-    df = spark.read.csv(path, sep="\t", schema=TRIPLE_SCHEMA, mode="PERMISSIVE")
-    clean = df.where(
-        F.col("h").isNotNull() & F.col("r").isNotNull() & F.col("t").isNotNull()
+def _read_tsv_exact(
+    spark: SparkSession, path: str, names: list[str], strict: bool, what: str
+) -> DataFrame:
+    """Text scan + split with an EXACT field-count contract. ``spark.read.csv``
+    PERMISSIVE silently drops extra columns, so a 4-field row would pass a
+    null-check as a truncated row — weaker than the reference's
+    ``assert len(params) == N`` (read.py:230-261). Counting split fields on
+    the raw line catches both too-few and too-many."""
+    n = len(names)
+    lines = spark.read.text(path)
+    parts = F.split(F.col("value"), "\t")
+    clean = lines.where(F.size(parts) == n).select(
+        *[F.element_at(parts, i + 1).alias(name) for i, name in enumerate(names)]
     )
     if strict:
-        bad = df.count() - clean.count()
+        bad = lines.count() - clean.count()
         if bad:
-            raise ValueError(f"{bad} malformed triple rows in {path}")
+            raise ValueError(f"{bad} malformed {what} rows in {path}")
     return clean
+
+
+def read_relation_triples(spark: SparkSession, path: str, strict: bool = True) -> DataFrame:
+    """(h, r, t) from a tab-separated file. ``strict`` mirrors the
+    reference's ``assert len(params) == 3``: any row with != 3 fields fails
+    the read; otherwise malformed rows are dropped."""
+    return _read_tsv_exact(spark, path, ["h", "r", "t"], strict, "triple")
 
 
 def read_attribute_triples(spark: SparkSession, path: str) -> DataFrame:
@@ -78,14 +91,8 @@ def read_attribute_triples(spark: SparkSession, path: str) -> DataFrame:
 
 
 def read_links(spark: SparkSession, path: str, strict: bool = True) -> DataFrame:
-    """(e1, e2) ground-truth link scan."""
-    df = spark.read.csv(path, sep="\t", schema=LINK_SCHEMA, mode="PERMISSIVE")
-    clean = df.where(F.col("e1").isNotNull() & F.col("e2").isNotNull())
-    if strict:
-        bad = df.count() - clean.count()
-        if bad:
-            raise ValueError(f"{bad} malformed link rows in {path}")
-    return clean
+    """(e1, e2) ground-truth link scan — exact 2-field contract."""
+    return _read_tsv_exact(spark, path, ["e1", "e2"], strict, "link")
 
 
 def write_ntriples(
@@ -118,7 +125,15 @@ def expand_uri_prefixes(col: Column | str, prefixes: dict[str, str]) -> Column:
     """Prefix expansion (``dbp:Foo`` → ``http://dbpedia.org/.../Foo``) as a
     chain of conditional replaces — plan constants, no UDF."""
     c = F.col(col) if isinstance(col, str) else col
-    out = c
-    for short, full in prefixes.items():
-        out = F.when(out.startswith(short), F.concat(F.lit(full), F.substring_index(out, short, -1))).otherwise(out)
-    return out
+    # All branches are computed from the ORIGINAL column and only the
+    # leading prefix is stripped (substring from len(short)+1), so a value
+    # like 'dbp:A/dbp:B' expands to '<full>A/dbp:B' and an already-expanded
+    # value can never be re-expanded by a later prefix. First match wins.
+    branches = [
+        F.when(
+            c.startswith(short),
+            F.concat(F.lit(full), F.substr(c, F.lit(len(short) + 1))),
+        )
+        for short, full in prefixes.items()
+    ]
+    return F.coalesce(*branches, c)

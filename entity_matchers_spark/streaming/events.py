@@ -105,6 +105,162 @@ def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
     return events.groupBy("user_id").applyInPandas(per_user, SESSION_SCHEMA)
 
 
+def sessionize_stateful(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Gap-based sessions as a REAL custom stateful streaming operator:
+    ``applyInPandasWithState`` keeps one open session per user across
+    triggers and emits a session the moment a later event (or the
+    end-of-stream sentinel the harness appends) proves the gap elapsed.
+
+    Semantics identical to the batch ``sessionize`` (gap-islands); the
+    batch path falls through to it, so one function serves both — the
+    Structured Streaming model. Per-trigger work stays vectorized: the
+    island computation is the same pandas cumsum kernel, the state merge
+    touches only the first/last island.
+
+    State per user: (session_start_us, session_end_us, n_events,
+    sum_value) epoch-microsecond tuple — O(1) per key, watermark-free
+    (closure is data-driven), so state size is bounded by |active users|.
+    """
+    if not events.isStreaming:
+        return sessionize(events, gap_minutes)
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    gap_us = gap_minutes * 60 * 1_000_000
+    state_schema = StructType(
+        [
+            StructField("start_us", LongType()),
+            StructField("end_us", LongType()),
+            StructField("n", LongType()),
+            StructField("v", DoubleType()),
+        ]
+    )
+
+    def per_user_state(key, pdfs, state: GroupState):
+        pdf = pd.concat(list(pdfs), ignore_index=True)
+        if len(pdf) == 0:
+            return
+        pdf = pdf.sort_values(["ts", "event_id"]).reset_index(drop=True)
+        ts = pd.to_datetime(pdf["ts"])
+        if ts.dt.tz is not None:  # tz-aware under some Arrow configs
+            ts = ts.dt.tz_convert("UTC").dt.tz_localize(None)
+        us = ts.astype("datetime64[us]").astype("int64")  # epoch microseconds
+        new_island = (us - us.shift(1)).fillna(gap_us + 1) > gap_us
+        sid = new_island.cumsum()
+        islands = (
+            pdf.assign(_us=us, _sid=sid)
+            .groupby("_sid")
+            .agg(
+                start_us=("_us", "min"),
+                end_us=("_us", "max"),
+                n=("event_id", "count"),
+                v=("value", "sum"),
+            )
+            .reset_index(drop=True)
+        )
+        closed = []
+        if state.exists:
+            s0, e0, n0, v0 = state.get
+            first = islands.iloc[0]
+            if int(first["start_us"]) - e0 <= gap_us:
+                islands.iloc[0, islands.columns.get_loc("start_us")] = min(s0, int(first["start_us"]))
+                islands.iloc[0, islands.columns.get_loc("end_us")] = max(e0, int(first["end_us"]))
+                islands.iloc[0, islands.columns.get_loc("n")] = n0 + int(first["n"])
+                islands.iloc[0, islands.columns.get_loc("v")] = v0 + float(first["v"])
+            else:
+                closed.append((s0, e0, n0, v0))
+        last = islands.iloc[-1]
+        state.update((int(last["start_us"]), int(last["end_us"]), int(last["n"]), float(last["v"])))
+        closed.extend(
+            (int(r["start_us"]), int(r["end_us"]), int(r["n"]), float(r["v"]))
+            for _, r in islands.iloc[:-1].iterrows()
+        )
+        if closed:
+            out = pd.DataFrame(closed, columns=["start_us", "end_us", "n", "v"])
+            yield pd.DataFrame(
+                {
+                    "user_id": key[0],
+                    "session_start": pd.to_datetime(out["start_us"], unit="us"),
+                    "session_end": pd.to_datetime(out["end_us"], unit="us"),
+                    "n_events": out["n"],
+                    "sum_value": out["v"],
+                }
+            )
+
+    src = events.withColumn("ts", F.col("ts").cast("timestamp"))
+    return src.groupBy("user_id").applyInPandasWithState(
+        per_user_state,
+        outputStructType=SESSION_SCHEMA,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_sessionize_stateful(
+    spark: SparkSession, parquet_path: str, gap_minutes: int = 30
+) -> DataFrame:
+    """Batch-parity harness for the stateful sessionizer: stream the events
+    file as trigger 1, then a sentinel event per user (ts far past every
+    real session's gap) as trigger 2 so every real session is provably
+    closed by DATA, not by end-of-stream truncation. Sentinel sessions are
+    filtered out of the result; output therefore equals the batch
+    gap-islands oracle exactly."""
+    static = spark.read.parquet(parquet_path)
+    bounds = static.agg(
+        F.max(F.col("ts").cast("timestamp")).alias("mx")
+    ).collect()[0]
+    sentinel_ts = bounds["mx"] + pd.Timedelta(minutes=3 * gap_minutes)
+    sentinels = (
+        static.select("user_id").distinct()
+        .select(
+            F.lit(-1).cast("long").alias("event_id"),
+            F.lit(sentinel_ts).alias("ts"),
+            "user_id",
+            F.lit("sentinel").alias("event_type"),
+            F.lit(0.0).alias("value"),
+        )
+    )
+    name = "s_" + uuid.uuid4().hex[:12]
+    with tempfile.TemporaryDirectory() as workdir:
+        src_dir = os.path.join(workdir, "in")
+        os.makedirs(src_dir)
+        os.symlink(os.path.abspath(parquet_path), os.path.join(src_dir, "part-0.parquet"))
+        sent_dir = os.path.join(workdir, "sent")
+        sentinels.coalesce(1).write.parquet(sent_dir)
+        sent_file = next(
+            f for f in os.listdir(sent_dir) if f.endswith(".parquet")
+        )
+        # the file source orders triggers by target-file mtime
+        # (latestFirst=false): push the sentinel file far into the future so
+        # the real events are always trigger 1, sentinels trigger 2
+        import time as _time
+
+        far = _time.time() + 3600
+        os.utime(os.path.join(sent_dir, sent_file), (far, far))
+        os.symlink(
+            os.path.join(sent_dir, sent_file), os.path.join(src_dir, "part-1.parquet")
+        )
+        stream = (
+            spark.readStream.schema(static.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src_dir)
+        )
+        q = (
+            sessionize_stateful(stream, gap_minutes)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", os.path.join(workdir, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    # drop the sentinel sessions (each is the lone sentinel event, if it
+    # surfaced at all) — everything earlier is a real, data-closed session
+    return spark.table(name).where(F.col("session_start") < F.lit(sentinel_ts))
+
+
 def run_stream_to_df(
     spark: SparkSession,
     parquet_path: str,

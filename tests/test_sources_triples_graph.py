@@ -203,6 +203,23 @@ def test_stream_batch_parity_windowed_counts(spark, tmp_path):
     assert s == b and len(s) > 0
 
 
+def test_stateful_sessionize_parity(spark):
+    """The applyInPandasWithState sessionizer under a real streaming
+    trigger (2 triggers: events, then end-of-stream sentinels) must emit
+    exactly the batch gap-islands sessions."""
+    from entity_matchers_spark.streaming.events import (
+        run_sessionize_stateful,
+        sessionize,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    streamed = run_sessionize_stateful(spark, f"{sf_dir}/events.parquet", 30)
+    batch = sessionize(spark.read.parquet(f"{sf_dir}/events.parquet"), 30)
+    s = sorted(tuple(map(str, r)) for r in streamed.collect())
+    b = sorted(tuple(map(str, r)) for r in batch.collect())
+    assert s == b and len(s) > 0
+
+
 # --- multimodal --------------------------------------------------------------
 
 
