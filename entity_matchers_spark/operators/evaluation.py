@@ -82,11 +82,12 @@ def hits_at_k(
     w = Window.partitionBy("id_a").orderBy(F.col(score_col).desc(), F.col("id_b").asc())
     ranked = scored.withColumn("rank", F.row_number().over(w))
     gold_ranked = truth.join(ranked, ["id_a", "id_b"], "left")
-    n_gold = truth.count()
+    # denominator is count(*) of the same aggregation — no separate
+    # truth.count() job / embedded literal
     aggs = [F.count("*").alias("n_gold"), F.avg("rank").alias("mr"), F.avg(1 / F.col("rank")).alias("mrr")]
     for k in ks:
         aggs.append(
-            (F.sum(F.when(F.col("rank") <= k, 1).otherwise(0)) / n_gold).alias(f"hits_at_{k}")
+            (F.sum(F.when(F.col("rank") <= k, 1).otherwise(0)) / F.count("*")).alias(f"hits_at_{k}")
         )
     return gold_ranked.agg(*aggs)
 

@@ -159,14 +159,29 @@ def fit_threshold(scored_labeled: DataFrame, score_col: str = "score") -> tuple[
     """
     from pyspark.sql import Window
 
-    total_pos = scored_labeled.where(F.col("label") == 1).count()
+    # Aggregate to one row per DISTINCT score first (map-side combine), so
+    # the unpartitioned cumulative window sorts |distinct scores| rows, not
+    # |labeled pairs| — the single-task sort is bounded by the score
+    # granularity (9-dp blend), not the calibration-set size. Grouping is
+    # also semantically right: a cut inside a tied-score run is not a
+    # realizable threshold.
+    per_score = (
+        scored_labeled.select(score_col, "label")
+        .groupBy(score_col)
+        .agg(
+            F.count("*").alias("_n"),
+            F.sum(F.when(F.col("label") == 1, 1).otherwise(0)).alias("_pos"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    total_pos = per_score.agg(F.sum("_pos")).first()[0] or 0
     if total_pos == 0:
         return 0.5, 0.0
     w = Window.orderBy(F.col(score_col).desc())
     curve = (
-        scored_labeled.select(score_col, "label")
-        .withColumn("tp", F.sum(F.when(F.col("label") == 1, 1).otherwise(0)).over(w))
-        .withColumn("n", F.row_number().over(w))
+        per_score
+        .withColumn("tp", F.sum("_pos").over(w))
+        .withColumn("n", F.sum("_n").over(w))
         .withColumn("prec", F.col("tp") / F.col("n"))
         .withColumn("rec", F.col("tp") / F.lit(total_pos))
         .withColumn("f1", 2 * F.col("prec") * F.col("rec") / (F.col("prec") + F.col("rec")))

@@ -1610,6 +1610,11 @@ def q_imuse_attr_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = p.select(F.col("id").alias("id_a"), "brand", F.col("name").alias("name_a"), F.col("type").alias("type_a"))
     b = p.select(F.col("id").alias("id_b"), "brand", F.col("name").alias("name_b"), F.col("type").alias("type_b"))
     pairs = a.join(b, "brand").where(F.col("id_a") < F.col("id_b"))
+    # the brand join's output is tiny in BYTES, so AQE coalesces it into a
+    # couple of tasks — but each row costs an O(len^2) levenshtein, so the
+    # stage is compute-bound: spread it explicitly before scoring
+    sc = spark.sparkContext
+    pairs = pairs.repartition(3 * sc.defaultParallelism, "id_a", "id_b")
     score = (levenshtein_ratio("name_a", "name_b") + levenshtein_ratio("type_a", "type_b")) / 2
     return (
         pairs.withColumn("score", F.round(score, 9))
@@ -1637,6 +1642,125 @@ SELECT id_a, id_b, score FROM scored WHERE score >= 0.6
 """
 
 
+def q_imuse_interactive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IMUSE interactive ent↔attr co-alignment (imuse.py:17-40), 2 rounds.
+
+    Fixture: side L carries attrs {name: p_name, type: p_type}, side R
+    carries {names: p_name, kind: p_type}. Only name↔names clears the
+    attribute-NAME seed threshold (0.6); type↔kind (ratio 0) can ONLY be
+    discovered by the round-1 attr-by-entities step via shared values —
+    so round 2's entity scores genuinely use a loop-learned attribute
+    alignment. Candidates blocked on p_brand."""
+    from entity_matchers_spark.operators.imuse import imuse_interactive
+
+    part = _read(spark, sf_dir, "part")
+    k = F.col("p_partkey").cast("string")
+    attrs1 = (
+        part.select(F.concat(F.lit("L"), k).alias("ent"), F.lit("name").alias("attr"), F.col("p_name").alias("value"))
+        .unionAll(part.select(F.concat(F.lit("L"), k), F.lit("type"), F.col("p_type")))
+    )
+    attrs2 = (
+        part.select(F.concat(F.lit("R"), k).alias("ent"), F.lit("names").alias("attr"), F.col("p_name").alias("value"))
+        .unionAll(part.select(F.concat(F.lit("R"), k), F.lit("kind"), F.col("p_type")))
+    )
+    a = part.select(F.concat(F.lit("L"), k).alias("e1"), F.col("p_brand").alias("brand"))
+    b = part.select(F.concat(F.lit("R"), k).alias("e2"), F.col("p_brand").alias("brand"))
+    cands = a.join(b, "brand").select("e1", "e2")
+    sc = spark.sparkContext
+    cands = cands.repartition(3 * sc.defaultParallelism, "e1", "e2")
+    out = imuse_interactive(
+        attrs1, attrs2, cands,
+        attr_name_threshold=0.6, ent_threshold=0.55, attr_threshold=0.55, rounds=2,
+    )
+    return out.select("e1", "e2", F.round("sim", 9).alias("sim"), "round")
+
+
+_LEV_RATIO_SQL = (
+    "(CASE WHEN greatest(len({a}), len({b})) = 0 THEN 1.0 "
+    "ELSE 1.0 - levenshtein({a}, {b}) / greatest(len({a}), len({b}))::DOUBLE END)"
+)
+
+
+def _mutual_best_sql(src: str, ka: str, kb: str, score: str, out: str) -> str:
+    """CTE fragment: mutual-best pairs of ``src`` on (ka, kb) by ``score``
+    with ascending-partner tie-breaks (matching.best_per_side order)."""
+    return f"""
+  {out}_ba AS (SELECT {ka}, {kb} FROM (
+    SELECT {ka}, {kb}, row_number() OVER (PARTITION BY {ka} ORDER BY {score} DESC, {kb} ASC) AS rn
+    FROM {src}) WHERE rn = 1),
+  {out}_bb AS (SELECT {ka}, {kb} FROM (
+    SELECT {ka}, {kb}, row_number() OVER (PARTITION BY {kb} ORDER BY {score} DESC, {ka} ASC) AS rn
+    FROM {src}) WHERE rn = 1),
+  {out} AS MATERIALIZED (
+    SELECT s.* FROM {src} s
+    JOIN {out}_ba USING ({ka}, {kb}) JOIN {out}_bb USING ({ka}, {kb})
+  )"""
+
+
+def _imuse_interactive_sql() -> str:
+    ent_round = """,
+  j{r} AS (
+    SELECT c.e1, c.e2, {vs2} AS vsim
+    FROM cand c
+    JOIN ev1 x ON x.ent = c.e1
+    JOIN {ap} ap ON ap.a1 = x.attr
+    JOIN ev2 y ON y.ent = c.e2 AND y.attr = ap.a2
+  ),
+  s{r} AS MATERIALIZED (
+    SELECT e1, e2, avg(vsim) AS sim FROM j{r} GROUP BY e1, e2 HAVING avg(vsim) > 0.55
+  ),"""
+    vs2 = _LEV_RATIO_SQL.format(a="x.value", b="y.value")
+    nseed = _LEV_RATIO_SQL.format(a="n1.attr", b="n2.attr")
+    parts = [f"""
+  p AS MATERIALIZED (SELECT p_partkey::VARCHAR AS k, p_name, p_type, p_brand FROM part),
+  av1 AS MATERIALIZED (
+    SELECT 'L' || k AS ent, 'name' AS attr, p_name AS value FROM p
+    UNION ALL SELECT 'L' || k, 'type', p_type FROM p
+  ),
+  av2 AS MATERIALIZED (
+    SELECT 'R' || k AS ent, 'names' AS attr, p_name AS value FROM p
+    UNION ALL SELECT 'R' || k, 'kind', p_type FROM p
+  ),
+  ev1 AS MATERIALIZED (SELECT ent, attr, min(value) AS value FROM av1 GROUP BY ent, attr),
+  ev2 AS MATERIALIZED (SELECT ent, attr, min(value) AS value FROM av2 GROUP BY ent, attr),
+  cand AS MATERIALIZED (
+    SELECT 'L' || a.k AS e1, 'R' || b.k AS e2 FROM p a JOIN p b ON a.p_brand = b.p_brand
+  ),
+  aseed_scored AS MATERIALIZED (
+    SELECT n1.attr AS a1, n2.attr AS a2, {nseed} AS score
+    FROM (SELECT DISTINCT attr FROM av1) n1, (SELECT DISTINCT attr FROM av2) n2
+    WHERE {nseed} >= 0.6
+  ),{_mutual_best_sql("aseed_scored", "a1", "a2", "score", "ap0")}"""]
+    # round 0 entity alignment with ap0
+    parts.append(ent_round.format(r=0, vs2=vs2, ap="ap0"))
+    parts.append(_mutual_best_sql("s0", "e1", "e2", "sim", "m0").lstrip("\n"))
+    # attr-by-entities step over m0
+    parts.append(f""",
+  ja AS (
+    SELECT x.attr AS a1, y.attr AS a2, {vs2} AS vsim
+    FROM m0
+    JOIN ev1 x ON x.ent = m0.e1
+    JOIN ev2 y ON y.ent = m0.e2
+  ),
+  sa AS MATERIALIZED (
+    SELECT a1, a2, avg(vsim) AS sim FROM ja GROUP BY a1, a2 HAVING avg(vsim) > 0.55
+  ),{_mutual_best_sql("sa", "a1", "a2", "sim", "ma")},
+  ap1 AS MATERIALIZED (
+    SELECT a1, a2 FROM ap0 UNION SELECT a1, a2 FROM ma
+  )""")
+    # round 1 entity alignment with ap1
+    parts.append(ent_round.format(r=1, vs2=vs2, ap="ap1").lstrip("\n").rstrip(","))
+    parts.append("," + _mutual_best_sql("s1", "e1", "e2", "sim", "m1").lstrip("\n"))
+    return f"""
+WITH {"".join(parts)}
+SELECT e1, e2, round(sim, 9) AS sim, 0 AS round FROM m0
+UNION ALL
+SELECT m1.e1, m1.e2, round(m1.sim, 9) AS sim, 1 AS round FROM m1
+WHERE NOT EXISTS (SELECT 1 FROM m0 WHERE m0.e1 = m1.e1 AND m0.e2 = m1.e2)
+"""
+
+
+Q_IMUSE_INTERACTIVE_SQL = _imuse_interactive_sql()
 
 
 # --- streaming (batch-parity), multimodal, graph, blocking audit -------------
@@ -2255,6 +2379,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "predicate_alignment": (q_predicate_alignment, Q_PREDICATE_ALIGN_SQL),
     "er_kfold_eval": (q_er_kfold_eval, Q_ER_KFOLD_SQL),
     "imuse_attr_overlap": (q_imuse_attr_overlap, Q_IMUSE_SQL),
+    "imuse_interactive": (q_imuse_interactive, Q_IMUSE_INTERACTIVE_SQL),
     "length_threshold_tables": (q_length_threshold_tables, Q_LENGTH_THRESHOLD_SQL),
     "name_removal": (q_name_removal, Q_NAME_REMOVAL_SQL),
     "sample_validity": (q_sample_validity, Q_SAMPLE_VALIDITY_SQL),
