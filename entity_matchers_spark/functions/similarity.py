@@ -282,12 +282,9 @@ def _jaccard_hashed_batch(sa: pd.Series, sb: pd.Series) -> pd.Series:
     b_arrays = sb.to_numpy()
     # Null-safe: a null text column yields a None array element; treat it as
     # empty for the math and emit null (NaN) for that row, matching the
-    # native expression's null-in -> null-out contract.
-    null_mask = np.fromiter(
-        (x is None or y is None for x, y in zip(a_arrays, b_arrays)),
-        dtype=bool,
-        count=n,
-    )
+    # native expression's null-in -> null-out contract. pandas isna is a C
+    # kernel (element-is-None on object dtype) — no per-row Python.
+    null_mask = sa.isna().to_numpy() | sb.isna().to_numpy()
     if null_mask.any():
         empty = np.array([], dtype=np.int64)
         a_arrays = np.array([empty if x is None else x for x in a_arrays], dtype=object)

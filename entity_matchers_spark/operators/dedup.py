@@ -126,22 +126,35 @@ def prefix_filtered_jaccard_pairs(
         e.join(dfreq, "g")
         .withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") <= F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1)
-        .select("id", "g")
+        .select("id", "sz", "g")
     )
+    # PPJoin length filter (also exact): J >= t forces t*|A| <= |B| and
+    # t*|B| <= |A|, so size-mismatched pairs can be dropped pre-verify
     cands = (
         prefix.alias("l")
         .join(prefix.alias("r"), "g")
-        .where(F.col("l.id") < F.col("r.id"))
+        .where(
+            (F.col("l.id") < F.col("r.id"))
+            & (F.col("l.sz") * threshold <= F.col("r.sz"))
+            & (F.col("r.sz") * threshold <= F.col("l.sz"))
+        )
         .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
         .distinct()
     )
+    # Verify join: the candidate set is O(true pairs) rows but each side
+    # needs its full gram array (~|grams| longs). Shipping arrays through a
+    # shuffle join moves |cands| * 2 * |grams| * 8B — broadcast the per-doc
+    # array table instead (it is |docs|-sized, tiny next to the pair set)
+    # so verification stays map-side. Beyond broadcast scale (10^9+ docs)
+    # drop the hint and bucket both sides on id so the array join
+    # co-locates without a per-query shuffle.
     ga = grams_arr.select(F.col("id").alias("id_a"), F.col("grams").alias("ga"))
     gb = grams_arr.select(F.col("id").alias("id_b"), F.col("grams").alias("gb"))
     sc = df.sparkSession.sparkContext
     return (
         cands.repartition(3 * sc.defaultParallelism, "id_a", "id_b")
-        .join(ga, "id_a")
-        .join(gb, "id_b")
+        .join(F.broadcast(ga), "id_a")
+        .join(F.broadcast(gb), "id_b")
         .withColumn("jaccard", jaccard_hashed_udf(F.col("ga"), F.col("gb")))
         .where(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")

@@ -61,3 +61,102 @@ def pagerank(
         if (i + 1) % checkpoint_every == 0:
             pr = pr.localCheckpoint(eager=True)
     return pr
+
+
+def entity_degrees(triples: DataFrame) -> DataFrame:
+    """(e, deg): total degree (head + tail occurrences) per entity —
+    count_ent_degree (/root/reference/SampKG-OpenEA/src/sampkg/generator/
+    utils.py count_ent_degree semantics)."""
+    return (
+        triples.select(F.col("h").alias("e"))
+        .unionAll(triples.select(F.col("t").alias("e")))
+        .groupBy("e")
+        .agg(F.count("*").alias("deg"))
+    )
+
+
+def degree_guided_sample(
+    triples1: DataFrame,
+    triples2: DataFrame,
+    links: DataFrame,
+    delete_frac: float = 0.2,
+    rounds: int = 2,
+    preserve_num: int = 10,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Degree-guided KG down-sampling with high-degree preservation — the
+    deterministic declarative analog of the reference's IDS sampler loop
+    (/root/reference/SampKG-OpenEA/src/sampkg/generator/
+    generator.py:35-116 ``_generate`` / ``delete_by_degree`` /
+    ``preserve_high_degree_entity``).
+
+    Each round deletes the ``delete_frac`` lowest-degree entities per KG
+    (rank by degree asc, entity id asc — the reference sorts by degree and
+    slices, with run-dependent ties; the id tie-break makes it stable at
+    any parallelism), then prunes triples to surviving endpoint pairs and
+    links to surviving endpoints. Afterwards the ``preserve_num``
+    highest-ORIGINAL-degree entities per side are re-added and the final
+    triples/links are rebuilt from the ORIGINAL KG restricted to the kept
+    entity sets, exactly as preserve_high_degree_entity rebuilds from
+    ``self.data.KG1_rel_triples``.
+
+    Fixed rounds (no convergence test) so an unrolled SQL oracle computes
+    the identical result. Each round is two degree aggregations + windowed
+    rank + semi/anti joins; localCheckpoint cuts the per-round lineage.
+    """
+    from pyspark.sql import Window
+
+    orig_t1, orig_t2, orig_links = triples1, triples2, links
+
+    def drop_lowest(triples: DataFrame) -> DataFrame:
+        """Entities surviving this round's bottom-``delete_frac`` cut."""
+        deg = entity_degrees(triples)
+        w = Window.orderBy(F.col("deg").asc(), F.col("e").asc())
+        ranked = deg.withColumn("rn", F.row_number().over(w)).withColumn(
+            "n", F.count("*").over(Window.partitionBy())
+        )
+        return ranked.where(
+            F.col("rn") > F.ceil(F.lit(delete_frac) * F.col("n"))
+        ).select("e")
+
+    def prune(triples: DataFrame, kept: DataFrame) -> DataFrame:
+        return (
+            triples.join(kept.withColumnRenamed("e", "h"), "h", "left_semi")
+            .join(kept.withColumnRenamed("e", "t"), "t", "left_semi")
+            .select("h", "r", "t")
+        )
+
+    for _ in range(rounds):
+        kept1 = drop_lowest(triples1)
+        kept2 = drop_lowest(triples2)
+        triples1 = prune(triples1, kept1).localCheckpoint(eager=True)
+        triples2 = prune(triples2, kept2).localCheckpoint(eager=True)
+        links = (
+            links.join(kept1.withColumnRenamed("e", "e1"), "e1", "left_semi")
+            .join(kept2.withColumnRenamed("e", "e2"), "e2", "left_semi")
+            .localCheckpoint(eager=True)
+        )
+
+    def top_original(triples: DataFrame) -> DataFrame:
+        deg = entity_degrees(triples)
+        w = Window.orderBy(F.col("deg").desc(), F.col("e").asc())
+        return deg.withColumn("rn", F.row_number().over(w)).where(
+            F.col("rn") <= preserve_num
+        ).select("e")
+
+    def survivors(triples: DataFrame) -> DataFrame:
+        return (
+            triples.select(F.col("h").alias("e"))
+            .unionAll(triples.select(F.col("t").alias("e")))
+            .distinct()
+        )
+
+    kept1 = survivors(triples1).unionAll(top_original(orig_t1)).distinct()
+    kept2 = survivors(triples2).unionAll(top_original(orig_t2)).distinct()
+    final_t1 = prune(orig_t1, kept1)
+    final_t2 = prune(orig_t2, kept2)
+    final_links = (
+        orig_links.join(kept1.withColumnRenamed("e", "e1"), "e1", "left_semi")
+        .join(kept2.withColumnRenamed("e", "e2"), "e2", "left_semi")
+        .select("e1", "e2")
+    )
+    return final_t1, final_t2, final_links

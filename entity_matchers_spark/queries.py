@@ -1609,15 +1609,27 @@ def q_imuse_attr_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     a = p.select(F.col("id").alias("id_a"), "brand", F.col("name").alias("name_a"), F.col("type").alias("type_a"))
     b = p.select(F.col("id").alias("id_b"), "brand", F.col("name").alias("name_b"), F.col("type").alias("type_b"))
-    pairs = a.join(b, "brand").where(F.col("id_a") < F.col("id_b"))
+    # broadcast: the brand key has only ~25 distinct values, so a shuffle
+    # join degenerates to <=25 effective tasks; broadcasting the (small)
+    # right side keeps the pair explosion map-side and fully parallel
+    pairs = a.join(F.broadcast(b), "brand").where(F.col("id_a") < F.col("id_b"))
     # the brand join's output is tiny in BYTES, so AQE coalesces it into a
     # couple of tasks — but each row costs an O(len^2) levenshtein, so the
     # stage is compute-bound: spread it explicitly before scoring
     sc = spark.sparkContext
     pairs = pairs.repartition(3 * sc.defaultParallelism, "id_a", "id_b")
-    score = (levenshtein_ratio("name_a", "name_b") + levenshtein_ratio("type_a", "type_b")) / 2
+    # p_type has a ~150-value vocabulary -> <=22.5k distinct (type_a,
+    # type_b) combos vs millions of pairs: score each combo once and
+    # broadcast-join the dictionary back (values identical, so the oracle
+    # is unchanged)
+    tdict = (
+        pairs.select("type_a", "type_b").distinct()
+        .withColumn("tr", levenshtein_ratio("type_a", "type_b"))
+    )
+    score = (levenshtein_ratio("name_a", "name_b") + F.col("tr")) / 2
     return (
-        pairs.withColumn("score", F.round(score, 9))
+        pairs.join(F.broadcast(tdict), ["type_a", "type_b"])
+        .withColumn("score", F.round(score, 9))
         .where(F.col("score") >= 0.6)
         .select("id_a", "id_b", "score")
     )
@@ -1665,7 +1677,7 @@ def q_imuse_interactive(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     a = part.select(F.concat(F.lit("L"), k).alias("e1"), F.col("p_brand").alias("brand"))
     b = part.select(F.concat(F.lit("R"), k).alias("e2"), F.col("p_brand").alias("brand"))
-    cands = a.join(b, "brand").select("e1", "e2")
+    cands = a.join(F.broadcast(b), "brand").select("e1", "e2")
     sc = spark.sparkContext
     cands = cands.repartition(3 * sc.defaultParallelism, "e1", "e2")
     out = imuse_interactive(
@@ -1928,6 +1940,86 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 Q_PAGERANK_SQL = _pagerank_sql(5)
+
+
+def q_degree_guided_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree-guided KG down-sampling with high-degree preservation
+    (generator.py:35-116): 2 rounds of bottom-20% degree deletion per KG,
+    then top-10 original-degree entities re-added and triples/links rebuilt
+    from the original KGs. Returns the sampled link set."""
+    from entity_matchers_spark.operators.graph import degree_guided_sample
+
+    t1, t2, links = _kg_spark(spark, sf_dir)
+    _f1, _f2, flinks = degree_guided_sample(
+        t1, t2, links, delete_frac=0.2, rounds=2, preserve_num=10
+    )
+    return flinks
+
+
+def _degree_sample_sql(delete_frac: float = 0.2, rounds: int = 2, preserve_num: int = 10) -> str:
+    def deg(src: str, out: str) -> str:
+        return f"""
+  {out} AS MATERIALIZED (
+    SELECT e, count(*) AS deg FROM (
+      SELECT h AS e FROM {src} UNION ALL SELECT t FROM {src}
+    ) GROUP BY e
+  )"""
+
+    def keep(deg_cte: str, out: str) -> str:
+        return f"""
+  {out} AS MATERIALIZED (
+    SELECT e FROM (
+      SELECT e, row_number() OVER (ORDER BY deg ASC, e ASC) AS rn,
+             count(*) OVER () AS n
+      FROM {deg_cte}
+    ) WHERE rn > ceil({delete_frac} * n)
+  )"""
+
+    ctes = []
+    t1, t2, lk = "t1", "t2", "l0"
+    for r in range(rounds):
+        ctes.append(deg(t1, f"deg1r{r}"))
+        ctes.append(deg(t2, f"deg2r{r}"))
+        ctes.append(keep(f"deg1r{r}", f"keep1r{r}"))
+        ctes.append(keep(f"deg2r{r}", f"keep2r{r}"))
+        ctes.append(f"""
+  t1r{r} AS MATERIALIZED (
+    SELECT h, r, t FROM {t1}
+    WHERE h IN (SELECT e FROM keep1r{r}) AND t IN (SELECT e FROM keep1r{r})
+  ),
+  t2r{r} AS MATERIALIZED (
+    SELECT h, r, t FROM {t2}
+    WHERE h IN (SELECT e FROM keep2r{r}) AND t IN (SELECT e FROM keep2r{r})
+  ),
+  lr{r} AS MATERIALIZED (
+    SELECT e1, e2 FROM {lk}
+    WHERE e1 IN (SELECT e FROM keep1r{r}) AND e2 IN (SELECT e FROM keep2r{r})
+  )""")
+        t1, t2, lk = f"t1r{r}", f"t2r{r}", f"lr{r}"
+    ctes.append(deg("t1", "odeg1"))
+    ctes.append(deg("t2", "odeg2"))
+    ctes.append(f"""
+  top1 AS (SELECT e FROM (
+    SELECT e, row_number() OVER (ORDER BY deg DESC, e ASC) AS rn FROM odeg1
+  ) WHERE rn <= {preserve_num}),
+  top2 AS (SELECT e FROM (
+    SELECT e, row_number() OVER (ORDER BY deg DESC, e ASC) AS rn FROM odeg2
+  ) WHERE rn <= {preserve_num}),
+  kept1f AS MATERIALIZED (
+    SELECT h AS e FROM {t1} UNION SELECT t FROM {t1} UNION SELECT e FROM top1
+  ),
+  kept2f AS MATERIALIZED (
+    SELECT h AS e FROM {t2} UNION SELECT t FROM {t2} UNION SELECT e FROM top2
+  )""")
+    body = ",".join(ctes)
+    return f"""
+WITH {_KG_SQL_CTES},{body}
+SELECT e1, e2 FROM l0
+WHERE e1 IN (SELECT e FROM kept1f) AND e2 IN (SELECT e FROM kept2f)
+"""
+
+
+Q_DEGREE_SAMPLE_SQL = _degree_sample_sql()
 
 
 def q_topk_jaccard_blocking(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2388,6 +2480,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "sessionize": (q_sessionize, Q_SESSIONIZE_SQL),
     "multimodal_features": (q_multimodal_features, Q_MULTIMODAL_SQL),
     "pagerank": (q_pagerank, Q_PAGERANK_SQL),
+    "degree_guided_sample": (q_degree_guided_sample, Q_DEGREE_SAMPLE_SQL),
     "topk_jaccard_blocking": (q_topk_jaccard_blocking, Q_TOPK_JACCARD_SQL),
     "jaccard_cascade_blocking": (q_jaccard_cascade_blocking, Q_JACCARD_CASCADE_SQL),
     "sessionize_stateful": (q_sessionize_stateful, Q_SESSIONIZE_SQL),

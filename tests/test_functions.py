@@ -144,3 +144,21 @@ def test_jaro_winkler_vectorized_hypothesis():
         assert (got == exp).all()
 
     check()
+
+
+def test_jaccard_hashed_batch_null_safe():
+    """Null arrays (from null text) must yield null, not crash the batch —
+    and must not disturb neighboring rows."""
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    from entity_matchers_spark.functions.similarity import _jaccard_hashed_batch
+
+    a = pd.Series([np.array([1, 2, 3]), None, np.array([], dtype=np.int64), None])
+    b = pd.Series([np.array([2, 3, 4]), np.array([1, 2]), np.array([], dtype=np.int64), None])
+    out = _jaccard_hashed_batch(a, b).tolist()
+    assert out[0] == 0.5  # |{2,3}| / |{1,2,3,4}|
+    assert math.isnan(out[1]) and math.isnan(out[3])
+    assert out[2] == 0.0  # both empty -> defined 0.0, not null
