@@ -45,47 +45,6 @@ def exact_duplicates(df: DataFrame, id_col: str = "doc_id", text_col: str = "tex
     )
 
 
-def ngram_jaccard_pairs(
-    df: DataFrame,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-    n: int = 3,
-    threshold: float = 0.8,
-    max_block_size: int = 1000,
-) -> DataFrame:
-    """(id_a, id_b, jaccard) for pairs with char n-gram Jaccard ≥ threshold.
-
-    Exact: explode grams → equi-join on gram → count shared per pair →
-    Jaccard from |A|+|B|-shared. Map-side combine on the pair groupBy; the
-    frequency cap drops stop-grams that would explode the join.
-    """
-    from entity_matchers_spark.functions.shingles import hashed_shingles
-
-    grams = df.select(
-        F.col(id_col).alias("id"),
-        F.explode(hashed_shingles(F.lower(F.col(text_col)), n=n)).alias("g"),
-    )
-    sizes = grams.groupBy("id").agg(F.count("*").alias("sz"))
-    capped = cap_block_sizes(grams.withColumnRenamed("g", "block_id"), max_block_size)
-    pairs_shared = (
-        capped.alias("l")
-        .join(capped.alias("r"), "block_id")
-        .where(F.col("l.id") < F.col("r.id"))
-        .groupBy(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
-        .agg(F.count("*").alias("shared"))
-    )
-    return (
-        pairs_shared.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
-        .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
-        .withColumn(
-            "jaccard",
-            F.col("shared") / (F.col("sz_a") + F.col("sz_b") - F.col("shared")).cast("double"),
-        )
-        .where(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "jaccard")
-    )
-
-
 def prefix_filtered_jaccard_pairs(
     df: DataFrame,
     id_col: str = "doc_id",

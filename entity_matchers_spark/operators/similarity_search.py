@@ -146,6 +146,50 @@ def hyperplane_bucket_keys_udf(
     return _bucket_keys
 
 
+def lsh_neardup_pairs(
+    corpus: DataFrame,
+    threshold: float = 0.35,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    num_planes: int = 4,
+    num_tables: int = 8,
+    seed: int = 11037,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: same-bucket candidates over
+    ``num_tables`` hyperplane tables, verified by exact cosine ≥ threshold.
+
+    The embedding analog of the MinHash near-dup path: candidates come from
+    bucket equi-joins (∝ bucket sizes, never n²), verification is the exact
+    native cosine. Fewer planes per table → coarser buckets → higher recall
+    at moderate thresholds; recall is tunable via (planes, tables) exactly
+    like band/row counts in MinHash-LSH. The oracle reproduces the same
+    deterministic bucketing, so the gate checks the operator value-for-value.
+    """
+    keys_udf = hyperplane_bucket_keys_udf(dim, num_planes, num_tables, seed)
+    b = corpus.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("vec"),
+        F.explode(keys_udf(F.col(vec_col))).alias("bucket"),
+    )
+    cands = (
+        b.alias("l")
+        .join(b.alias("r"), "bucket")
+        .where(F.col("l.id") < F.col("r.id"))
+        .select(
+            F.col("l.id").alias("id_a"),
+            F.col("r.id").alias("id_b"),
+            F.col("l.vec").alias("va"),
+            F.col("r.vec").alias("vb"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return (
+        cands.select("id_a", "id_b", _rounded_cosine(F.col("va"), F.col("vb")).alias("cos"))
+        .where(F.col("cos") >= threshold)
+    )
+
+
 def lsh_ann_topk(
     corpus: DataFrame,
     queries: DataFrame,

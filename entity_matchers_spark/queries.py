@@ -523,6 +523,55 @@ FROM documents d LEFT JOIN cc ON d.doc_id = cc.id
 )
 
 
+def q_er_cluster_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise P/R/F1 of the transitive clusters vs the derived truth set
+    — evaluates the CLUSTERING (same-cluster pairs incl. transitive ones),
+    complementing er_eval_prf1's alignment-level check."""
+    from entity_matchers_spark.operators.evaluation import pairwise_f1_from_clusters
+
+    scored = _er_spark_scores(spark, sf_dir)
+    edges = matching.mutual_best(scored, min_score=ER_EDGE_THRESHOLD).select("id_a", "id_b")
+    docs = _docs(spark, sf_dir)
+    clusters = clustering.clusters_with_singletons(docs, edges, id_col="doc_id").select(
+        F.col("id").alias("doc_id"), "cluster_id"
+    )
+    truth = scored.where(F.col("jac3") >= 0.55).select("id_a", "id_b")
+    return pairwise_f1_from_clusters(clusters, truth, id_col="doc_id")
+
+
+Q_ER_CLUSTER_EVAL_SQL = (
+    Q_ER_CLUSTERS_SQL.replace(
+        """
+SELECT d.doc_id, coalesce(cc.cluster_id, d.doc_id) AS cluster_id
+FROM documents d LEFT JOIN cc ON d.doc_id = cc.id
+""",
+        """,
+  clusters AS MATERIALIZED (
+    SELECT d.doc_id, coalesce(cc.cluster_id, d.doc_id) AS cluster_id
+    FROM documents d LEFT JOIN cc ON d.doc_id = cc.id
+  ),
+  pred AS MATERIALIZED (
+    SELECT l.doc_id AS id_a, r.doc_id AS id_b
+    FROM clusters l JOIN clusters r ON l.cluster_id = r.cluster_id AND l.doc_id < r.doc_id
+  ),
+  truth AS MATERIALIZED (SELECT id_a, id_b FROM final_scored WHERE jac3 >= 0.55),
+  stats AS (
+    SELECT
+      (SELECT count(*) FROM pred JOIN truth USING (id_a, id_b)) AS tp,
+      (SELECT count(*) FROM pred) AS n_align,
+      (SELECT count(*) FROM truth) AS n_truth
+  )
+SELECT tp, n_align, n_truth,
+       tp / n_align::DOUBLE AS precision,
+       tp / n_truth::DOUBLE AS recall,
+       2 * (tp / n_align::DOUBLE) * (tp / n_truth::DOUBLE)
+         / ((tp / n_align::DOUBLE) + (tp / n_truth::DOUBLE)) AS f1
+FROM stats
+""",
+    )
+)
+
+
 # --- dedup family ------------------------------------------------------------
 
 
@@ -887,6 +936,69 @@ SELECT query_id, neighbor_id, "inner", cos, euc, man, rnk FROM (
   FROM scored
 ) WHERE rnk <= 5
 """
+
+
+NEARDUP_EMB_PLANES = 4
+NEARDUP_EMB_TABLES = 8
+NEARDUP_EMB_THRESHOLD = 0.35
+
+
+def q_neardup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs: hyperplane-LSH buckets (4 planes ×
+    8 tables — coarse buckets, MinHash-band-style recall tuning) + exact
+    cosine ≥ 0.35 verify."""
+    from entity_matchers_spark.operators.similarity_search import lsh_neardup_pairs
+
+    emb = _read(spark, sf_dir, "embeddings")
+    return lsh_neardup_pairs(
+        emb,
+        threshold=NEARDUP_EMB_THRESHOLD,
+        num_planes=NEARDUP_EMB_PLANES,
+        num_tables=NEARDUP_EMB_TABLES,
+    )
+
+
+def _neardup_embedding_sql(
+    dim: int = 64,
+    num_planes: int = NEARDUP_EMB_PLANES,
+    num_tables: int = NEARDUP_EMB_TABLES,
+    seed: int = 11037,
+    threshold: float = NEARDUP_EMB_THRESHOLD,
+) -> str:
+    """Same deterministic bucketing as the Spark plan (plane signs as SQL
+    literals), same-bucket join, exact cosine threshold."""
+    from entity_matchers_spark.operators.similarity_search import _plane_signs
+
+    planes = _plane_signs(dim, num_planes, num_tables, seed)
+    bucket_exprs = []
+    for t in range(num_tables):
+        bits = []
+        for p in range(num_planes):
+            lits = ",".join(str(s) for s in planes[t * num_planes + p])
+            bits.append(
+                f"(CASE WHEN list_dot_product(v, [{lits}]) > 0 THEN {1 << p} ELSE 0 END)"
+            )
+        bucket_exprs.append(f"'t{t}:' || ({' + '.join(bits)})::VARCHAR")
+    return f"""
+WITH emb AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+keys AS MATERIALIZED (
+  SELECT vec_id, unnest([{", ".join(bucket_exprs)}]) AS bucket FROM emb
+),
+cands AS MATERIALIZED (
+  SELECT DISTINCT l.vec_id AS id_a, r.vec_id AS id_b
+  FROM keys l JOIN keys r USING (bucket)
+  WHERE l.vec_id < r.vec_id
+)
+SELECT cands.id_a, cands.id_b,
+       round(list_cosine_similarity(ea.v, eb.v), 6) AS cos
+FROM cands
+JOIN emb ea ON ea.vec_id = cands.id_a
+JOIN emb eb ON eb.vec_id = cands.id_b
+WHERE round(list_cosine_similarity(ea.v, eb.v), 6) >= {threshold}
+"""
+
+
+Q_NEARDUP_EMBEDDING_SQL = _neardup_embedding_sql()
 
 
 # --- eval / rescaling on the ER chain -----------------------------------------
@@ -2442,6 +2554,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "er_pair_scores": (q_er_pair_scores, Q_ER_PAIR_SCORES_SQL),
     "er_mutual_best": (q_er_mutual_best, Q_ER_MUTUAL_BEST_SQL),
     "er_clusters": (q_er_clusters, Q_ER_CLUSTERS_SQL),
+    "er_cluster_eval": (q_er_cluster_eval, Q_ER_CLUSTER_EVAL_SQL),
     "er_csls": (q_er_csls, Q_ER_CSLS_SQL),
     "er_eval_prf1": (q_er_eval_prf1, Q_ER_EVAL_SQL),
     "dedup_exact": (q_dedup_exact, Q_DEDUP_EXACT_SQL),
@@ -2456,6 +2569,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "ann_cosine_topk": (q_ann_cosine_topk, Q_ANN_COSINE_SQL),
     "ann_lsh_topk": (q_ann_lsh_topk, Q_ANN_LSH_SQL),
     "ann_multimetric": (q_ann_multimetric, Q_ANN_MULTIMETRIC_SQL),
+    "neardup_embedding": (q_neardup_embedding, Q_NEARDUP_EMBEDDING_SQL),
     "triples_parse_stats": (q_triples_parse_stats, Q_TRIPLES_PARSE_SQL),
     "triples_remove_unlinked": (q_triples_remove_unlinked, Q_TRIPLES_REMOVE_UNLINKED_SQL),
     "links_fixpoint": (q_links_fixpoint, Q_LINKS_FIXPOINT_SQL),
