@@ -162,3 +162,45 @@ def test_jaccard_hashed_batch_null_safe():
     assert out[0] == 0.5  # |{2,3}| / |{1,2,3,4}|
     assert math.isnan(out[1]) and math.isnan(out[3])
     assert out[2] == 0.0  # both empty -> defined 0.0, not null
+
+
+def test_prefix_filter_full_recall(spark):
+    """AllPairs/PPJoin prefix filtering must find EVERY pair with J >= t —
+    compare against the brute-force all-pairs Jaccard on a corpus with
+    planted near-dups, padding variety, and stop-gram-heavy rows."""
+    from pyspark.sql import functions as F
+
+    from entity_matchers_spark.functions.shingles import hashed_shingles
+    from entity_matchers_spark.functions.similarity import jaccard_arrays
+    from entity_matchers_spark.operators.dedup import prefix_filtered_jaccard_pairs
+
+    base = "the quick brown fox jumps over the lazy dog near the old stone bridge"
+    rows = []
+    for i in range(30):
+        if i % 3 == 0:
+            txt = base + f" variant {i}"          # near-dups of base
+        elif i % 3 == 1:
+            txt = f"completely different text number {i} with its own words"
+        else:
+            txt = "the the the the the " + str(i)  # stop-gram heavy
+        rows.append((i, txt))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in prefix_filtered_jaccard_pairs(docs, threshold=0.5).collect()
+    }
+    g = docs.select(
+        F.col("doc_id").alias("id"), hashed_shingles(F.lower("text")).alias("grams")
+    )
+    a = g.select(F.col("id").alias("id_a"), F.col("grams").alias("ga"))
+    b = g.select(F.col("id").alias("id_b"), F.col("grams").alias("gb"))
+    brute = {
+        (r["id_a"], r["id_b"])
+        for r in a.crossJoin(b)
+        .where(F.col("id_a") < F.col("id_b"))
+        .withColumn("j", jaccard_arrays(F.col("ga"), F.col("gb")))
+        .where(F.col("j") >= 0.5)
+        .collect()
+    }
+    assert got == brute and len(brute) > 0
