@@ -140,8 +140,10 @@ def imuse_interactive(
     attrs1/attrs2: (ent, attr, value). candidates: (e1, e2) bounded pair
     space. Returns accumulated (e1, e2, sim, round) — ``round`` is the
     iteration (0-based) the pair first entered the alignment."""
-    ev1 = _one_value_per_ent_attr(attrs1)
-    ev2 = _one_value_per_ent_attr(attrs2)
+    ev1 = _one_value_per_ent_attr(attrs1).localCheckpoint(eager=True)
+    ev2 = _one_value_per_ent_attr(attrs2).localCheckpoint(eager=True)
+    # candidates feed every round's entity-alignment join — materialize once
+    candidates = candidates.localCheckpoint(eager=True)
     attr_pairs = align_attrs_by_name(attrs1, attrs2, attr_name_threshold)
     aligned: DataFrame | None = None
     for r in range(rounds):
