@@ -319,3 +319,29 @@ def test_salted_pairs_equal_plain_self_join(spark):
     salted = salted_candidate_pairs(blocks, chunk_size=37)
     assert exact.exceptAll(salted).count() == 0
     assert salted.exceptAll(exact).count() == 0
+
+
+def test_word_vector_scan_and_embed(spark, tmp_path):
+    """fastText .vec contract: header + malformed lines dropped; embed =
+    component-wise mean over in-vocabulary tokens."""
+    from entity_matchers_spark.sources.embeddings import embed_texts, read_word_vectors
+
+    vec = tmp_path / "toy.vec"
+    vec.write_text(
+        "4 3\n"                      # fastText header -> dropped (2 fields)
+        "hello 1.0 2.0 3.0\n"
+        "world 3.0 2.0 1.0\n"
+        "bad-line 1.0\n"             # wrong arity -> dropped
+        "spark 0.0 0.0 6.0\n"
+    )
+    wv = read_word_vectors(spark, str(vec), dim=3)
+    assert {r["word"] for r in wv.collect()} == {"hello", "world", "spark"}
+
+    docs = spark.createDataFrame(
+        [(1, "Hello world"), (2, "spark"), (3, "nothing matches here")],
+        "doc_id long, text string",
+    )
+    out = {r["id"]: r["vec"] for r in embed_texts(docs, wv).collect()}
+    assert out[1] == [2.0, 2.0, 2.0]      # mean(hello, world)
+    assert out[2] == [0.0, 0.0, 6.0]
+    assert 3 not in out                   # no in-vocab token -> no row
