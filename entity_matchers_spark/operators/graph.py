@@ -160,3 +160,64 @@ def degree_guided_sample(
         .select("e1", "e2")
     )
     return final_t1, final_t2, final_links
+
+
+def degree_distribution_deletion(
+    triples: DataFrame,
+    target_dd: dict[int, float],
+    delete_ratio: float = 0.2,
+    max_degree: int = 8,
+    pr_iterations: int = 5,
+    damping: float = 0.85,
+) -> DataFrame:
+    """Degree-distribution-matched deletion, PR-guided — the declarative
+    analog of ``delete_by_pagerank_for_dd`` (/root/reference/SampKG-OpenEA/
+    src/sampkg/generator/generator.py:147-200): per degree bucket d
+    (capped at ``max_degree``) delete
+
+        trunc(size_d * ratio * mult * (1 + ddc[d] - ddo[d]))
+
+    lowest-PageRank entities, where ddc is the CURRENT degree-distribution
+    fraction, ddo the TARGET (the reference's original-dataset
+    distribution), and mult = 3 when d < 8 and the bucket is
+    over-represented (the reference's low-degree boost). The reference
+    additionally deletes a random sub-quota (delete_random_ratio); here
+    that ratio is 0 so the operator is deterministic — ranking is
+    (9-dp-rounded PageRank asc, entity id asc).
+
+    Returns the surviving triples (any triple touching a deleted entity is
+    dropped, ``update_triples_and_links`` semantics).
+    """
+    from pyspark.sql import Window
+
+    edges = triples.select(F.col("h").alias("src"), F.col("t").alias("dst")).distinct()
+    pr = pagerank(edges, damping=damping, iterations=pr_iterations)
+
+    deg = entity_degrees(triples).withColumn(
+        "d", F.least(F.col("deg"), F.lit(max_degree))
+    )
+    tot = deg.agg(F.count("*").cast("double").alias("n"))
+    buckets = deg.groupBy("d").agg(F.count("*").alias("sz")).crossJoin(tot)
+    ddo = F.coalesce(
+        *[F.when(F.col("d") == d, F.lit(f)) for d, f in target_dd.items()],
+        F.lit(0.0),
+    )
+    frac = F.col("sz") / F.col("n")
+    mult = F.when((F.col("d") < 8) & (frac > ddo), F.lit(3.0)).otherwise(F.lit(1.0))
+    deln = buckets.select(
+        "d",
+        (F.col("sz") * delete_ratio * mult * (F.lit(1.0) + frac - ddo))
+        .cast("long")
+        .alias("k"),
+    )
+    w = Window.partitionBy("d").orderBy(F.round(F.col("pr"), 9).asc(), F.col("e").asc())
+    ranked = (
+        deg.join(pr.withColumnRenamed("node", "e"), "e")
+        .withColumn("rn", F.row_number().over(w))
+    )
+    deleted = ranked.join(F.broadcast(deln), "d").where(F.col("rn") <= F.col("k")).select("e")
+    return (
+        triples.join(deleted.withColumnRenamed("e", "h"), "h", "left_anti")
+        .join(deleted.withColumnRenamed("e", "t"), "t", "left_anti")
+        .select("h", "r", "t")
+    )

@@ -2134,6 +2134,88 @@ WHERE e1 IN (SELECT e FROM kept1f) AND e2 IN (SELECT e FROM kept2f)
 Q_DEGREE_SAMPLE_SQL = _degree_sample_sql()
 
 
+_DD_TARGET = {1: 0.9, 4: 0.05}
+
+
+def q_degree_dd_deletion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PR-guided degree-distribution-matched deletion
+    (delete_by_pagerank_for_dd, generator.py:147-200) over the customer→
+    nation KG: per degree bucket, trunc(size·ratio·mult·(1+ddc−ddo))
+    lowest-PageRank entities go; surviving triples returned."""
+    from entity_matchers_spark.operators.graph import degree_distribution_deletion
+
+    t1, _t2, _links = _kg_spark(spark, sf_dir)
+    return degree_distribution_deletion(
+        t1, _DD_TARGET, delete_ratio=0.2, max_degree=4, pr_iterations=5
+    )
+
+
+def _dd_deletion_sql(
+    ratio: float = 0.2,
+    max_degree: int = 4,
+    iters: int = 5,
+    damping: float = 0.85,
+    ddo: dict[int, float] | None = None,
+) -> str:
+    ddo = ddo if ddo is not None else _DD_TARGET
+    ddo_case = (
+        "CASE "
+        + " ".join(f"WHEN d = {d} THEN {f!r}::DOUBLE" for d, f in ddo.items())
+        + " ELSE 0.0::DOUBLE END"
+    )
+    pr_parts = []
+    for i in range(1, iters + 1):
+        pr_parts.append(f""",
+  c_{i} AS MATERIALIZED (
+    SELECT e.dst AS node, sum(p.pr / odeg.deg) AS mass
+    FROM edges e JOIN odeg ON e.src = odeg.src JOIN pr_{i-1} p ON e.src = p.node
+    GROUP BY e.dst
+  ),
+  pr_{i} AS MATERIALIZED (
+    SELECT nodes.node,
+           (1.0 - {damping}) / nn.n + {damping} * coalesce(c_{i}.mass, 0.0) AS pr
+    FROM nodes CROSS JOIN nn LEFT JOIN c_{i} ON nodes.node = c_{i}.node
+  )""")
+    return (
+        f"WITH {_KG_SQL_CTES},"
+        f"""
+  edges AS MATERIALIZED (SELECT DISTINCT h AS src, t AS dst FROM t1),
+  nodes AS MATERIALIZED (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+  nn AS (SELECT count(*)::DOUBLE AS n FROM nodes),
+  odeg AS MATERIALIZED (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+  pr_0 AS (SELECT node, 1.0 / nn.n AS pr FROM nodes, nn){"".join(pr_parts)},
+  entdeg AS MATERIALIZED (
+    SELECT e, count(*) AS deg FROM (
+      SELECT h AS e FROM t1 UNION ALL SELECT t FROM t1
+    ) GROUP BY e
+  ),
+  db AS MATERIALIZED (SELECT e, least(deg, {max_degree}) AS d FROM entdeg),
+  tot AS (SELECT count(*)::DOUBLE AS n FROM db),
+  deln AS MATERIALIZED (
+    SELECT d,
+           trunc(sz * {ratio!r}::DOUBLE
+                 * (CASE WHEN d < 8 AND sz / tot.n > {ddo_case} THEN 3.0::DOUBLE ELSE 1.0::DOUBLE END)
+                 * (1.0::DOUBLE + sz / tot.n - {ddo_case}))::BIGINT AS k
+    FROM (SELECT d, count(*) AS sz FROM db GROUP BY d) b, tot
+  ),
+  ranked AS MATERIALIZED (
+    SELECT db.e, db.d,
+           row_number() OVER (PARTITION BY db.d
+                              ORDER BY round(pr_{iters}.pr, 9) ASC, db.e ASC) AS rn
+    FROM db JOIN pr_{iters} ON db.e = pr_{iters}.node
+  ),
+  deleted AS MATERIALIZED (
+    SELECT e FROM ranked JOIN deln USING (d) WHERE rn <= k
+  )
+SELECT h, r, t FROM t1
+WHERE h NOT IN (SELECT e FROM deleted) AND t NOT IN (SELECT e FROM deleted)
+"""
+    )
+
+
+Q_DEGREE_DD_SQL = _dd_deletion_sql()
+
+
 def q_topk_jaccard_blocking(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-k gram-Jaccard neighbor blocking (create_dataset_neighbor.py
     semantics as a window over the shared-gram join)."""
@@ -2595,6 +2677,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "multimodal_features": (q_multimodal_features, Q_MULTIMODAL_SQL),
     "pagerank": (q_pagerank, Q_PAGERANK_SQL),
     "degree_guided_sample": (q_degree_guided_sample, Q_DEGREE_SAMPLE_SQL),
+    "degree_dd_deletion": (q_degree_dd_deletion, Q_DEGREE_DD_SQL),
     "topk_jaccard_blocking": (q_topk_jaccard_blocking, Q_TOPK_JACCARD_SQL),
     "jaccard_cascade_blocking": (q_jaccard_cascade_blocking, Q_JACCARD_CASCADE_SQL),
     "sessionize_stateful": (q_sessionize_stateful, Q_SESSIONIZE_SQL),
