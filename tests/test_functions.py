@@ -204,3 +204,46 @@ def test_prefix_filter_full_recall(spark):
         .collect()
     }
     assert got == brute and len(brute) > 0
+
+
+def test_bitmap_jaccard_matches_sorted_kernel():
+    """The dense-bitmap popcount path and the sorted-array merge path must
+    compute identical Jaccard values for any gram sets (hypothesis over
+    random small-vocab sets)."""
+    import numpy as np
+    import pandas as pd
+    from hypothesis import given, settings, strategies as st
+
+    from entity_matchers_spark.functions.similarity import _jaccard_hashed_batch
+    from entity_matchers_spark.operators.dedup import _bitmap_jaccard_udf
+
+    bitmap_fn = _bitmap_jaccard_udf().func
+    V = 96
+    width_bytes = max(2, -(-V // 16) * 2)
+
+    def to_bitmap(ids):
+        bits = np.zeros(width_bytes * 8, dtype=np.uint8)
+        if ids:
+            bits[np.array(sorted(ids))] = 1
+        return np.packbits(bits).tobytes()
+
+    sets = st.sets(st.integers(min_value=0, max_value=V - 1), max_size=40)
+
+    @settings(max_examples=150, deadline=None)
+    @given(st.lists(st.tuples(sets, sets), min_size=1, max_size=20))
+    def check(batch):
+        a_sets = [sorted(a) for a, _ in batch]
+        b_sets = [sorted(b) for _, b in batch]
+        sorted_out = _jaccard_hashed_batch(
+            pd.Series([np.array(a, dtype=np.int64) for a in a_sets]),
+            pd.Series([np.array(b, dtype=np.int64) for b in b_sets]),
+        ).to_numpy()
+        bm_out = bitmap_fn(
+            pd.Series([to_bitmap(a) for a, _ in batch]),
+            pd.Series([to_bitmap(b) for _, b in batch]),
+            pd.Series([len(a) for a in a_sets], dtype=np.int64),
+            pd.Series([len(b) for b in b_sets], dtype=np.int64),
+        ).to_numpy()
+        assert (sorted_out == bm_out).all()
+
+    check()
