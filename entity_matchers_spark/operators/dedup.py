@@ -155,21 +155,41 @@ def prefix_filtered_jaccard_pairs(
         .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
         .distinct()
     )
-    # Verify join: the candidate set is O(true pairs) rows but each side
-    # needs its full gram set. Broadcasting the per-doc representation (a
-    # |docs|-sized table, tiny next to the pair set) keeps verification
-    # map-side; beyond broadcast scale, bucket both sides on id instead.
-    #
-    # Representation is ADAPTIVE on the global gram vocabulary V (char
-    # n-gram space is alphabet^n-bounded, so V is small even on web text):
-    # - V <= max_bitmap_vocab: remap gram hashes to dense ids, pack each
-    #   doc into a V-bit bitmap; Jaccard = popcount(AND) via a 16-bit LUT.
-    #   ~100x cheaper than the per-pair merge AND shrinks the broadcast
-    #   (V/8 bytes/doc vs 8 bytes/gram).
-    # - else: sorted-hash arrays + the vectorized merge kernel.
-    # Both paths compute identical integer counts -> identical Jaccard.
-    sc = df.sparkSession.sparkContext
+    return _exact_jaccard_verify(cands, grams_arr, threshold, dfreq=dfreq)
+
+
+def _exact_jaccard_verify(
+    cands: DataFrame,
+    grams_arr: DataFrame,
+    threshold: float,
+    dfreq: DataFrame | None = None,
+    max_bitmap_vocab: int = 1 << 20,
+) -> DataFrame:
+    """Exact-Jaccard verification of candidate pairs, shared by the prefix
+    and MinHash near-dup paths.
+
+    The candidate set is O(true pairs) rows but each side needs its full
+    gram set. Broadcasting the per-doc representation (a |docs|-sized
+    table, tiny next to the pair set) keeps verification map-side; beyond
+    broadcast scale, bucket both sides on id instead.
+
+    Representation is ADAPTIVE on the global gram vocabulary V (char
+    n-gram space is alphabet^n-bounded, so V is small even on web text):
+    - V <= max_bitmap_vocab: remap gram hashes to dense ids, pack each
+      doc into a V-bit bitmap; Jaccard = popcount(AND) via a 16-bit LUT.
+      ~100x cheaper than the per-pair merge AND shrinks the broadcast
+      (V/8 bytes/doc vs 8 bytes/gram).
+    - else: sorted-hash arrays + the vectorized merge kernel.
+    Both paths compute identical integer counts -> identical Jaccard, so
+    callers' oracles are representation-independent.
+    """
+    from pyspark.sql import Window
+
+    sc = cands.sparkSession.sparkContext
     cands = cands.repartition(3 * sc.defaultParallelism, "id_a", "id_b")
+    e = grams_arr.select("id", F.explode("grams").alias("g"))
+    if dfreq is None:
+        dfreq = e.groupBy("g").agg(F.count("*").alias("df"))
     vocab_size = dfreq.count()
     if vocab_size <= max_bitmap_vocab:
         vocab = dfreq.select(
@@ -178,8 +198,7 @@ def prefix_filtered_jaccard_pairs(
         )
         width_bytes = max(2, -(-vocab_size // 16) * 2)  # even, for uint16 view
         gids = (
-            e.select("id", "g")
-            .join(F.broadcast(vocab), "g")
+            e.join(F.broadcast(vocab), "g")
             .groupBy("id")
             .agg(F.collect_list("gid").alias("gids"))
         )
@@ -246,21 +265,11 @@ def minhash_neardup_pairs(
     )
     from entity_matchers_spark.functions.shingles import hashed_shingles
 
-    # the exact-Jaccard verify is compute-bound; spread candidates across
-    # all cores (AQE would size the tiny pair shuffle down to 1 task)
-    sc = cands.sparkSession.sparkContext
-    cands = cands.repartition(3 * sc.defaultParallelism, "id_a", "id_b")
-    sh = df.select(
+    grams_arr = df.select(
         F.col(id_col).alias("id"),
-        hashed_shingles(F.lower(F.substring(F.col(text_col), 1, text_cap)), n=shingle_n).alias("sh"),
-    )
-    verified = (
-        cands.join(sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a")), "id_a")
-        .join(sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b")), "id_b")
-        .withColumn("jaccard", jaccard_hashed_udf(F.col("sh_a"), F.col("sh_b")))
-        .where(F.col("jaccard") >= threshold)
-    )
-    return verified.select("id_a", "id_b", "jaccard")
+        hashed_shingles(F.lower(F.substring(F.col(text_col), 1, text_cap)), n=shingle_n).alias("grams"),
+    ).withColumn("sz", F.size("grams"))
+    return _exact_jaccard_verify(cands, grams_arr, threshold)
 
 
 def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
