@@ -118,3 +118,45 @@ def fingerprint_mink(
         "id", F.lit("").alias("fp")
     )
     return fp.unionByName(empty)
+
+
+def repetition_features(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Gopher-style repetition signals per doc:
+
+    - ``top_token_share``: mass of the single most frequent token — the
+      "fraction of characters in most common word" family of rules;
+    - ``dup_bigram_frac``: 1 − |distinct bigrams| / |bigrams| — the
+      duplicated-n-gram fraction rules.
+
+    Both are pure native expressions / one explode-aggregate; a doc with
+    fewer tokens than the n-gram width scores 0.0 on that signal.
+    """
+    from entity_matchers_spark.functions.shingles import token_shingles, tokens
+
+    t = F.col(text_col)
+    toks = tokens(t)
+    bigrams = token_shingles(t, n=2, distinct=False)
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.size(toks).alias("n_tokens"),
+        F.when(F.size(bigrams) <= 0, F.lit(0.0))
+        .otherwise(
+            1.0 - F.size(F.array_distinct(bigrams)) / F.size(bigrams).cast("double")
+        )
+        .alias("dup_bigram_frac"),
+    )
+    counts = (
+        df.select(F.col(id_col).alias("id"), F.explode(toks).alias("tok"))
+        .groupBy("id", "tok")
+        .agg(F.count("*").alias("c"))
+        .groupBy("id")
+        .agg((F.max("c") / F.sum("c").cast("double")).alias("top_token_share"))
+    )
+    return base.join(counts, "id", "left").select(
+        "id",
+        "n_tokens",
+        F.coalesce(F.col("top_token_share"), F.lit(0.0)).alias("top_token_share"),
+        "dup_bigram_frac",
+    )

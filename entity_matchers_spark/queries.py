@@ -786,6 +786,44 @@ def q_quality_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals: top-token mass + duplicated-bigram
+    fraction per doc."""
+    from entity_matchers_spark.operators.text_analysis import repetition_features
+
+    return repetition_features(_docs(spark, sf_dir)).select(
+        F.col("id").alias("doc_id"),
+        "n_tokens",
+        F.round("top_token_share", 9).alias("top_token_share"),
+        F.round("dup_bigram_frac", 9).alias("dup_bigram_frac"),
+    )
+
+
+Q_REPETITION_SQL = r"""
+WITH tk AS MATERIALIZED (
+  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> x != '') AS t
+  FROM documents
+),
+base AS (
+  SELECT doc_id, len(t) AS n_tokens,
+         CASE WHEN len(t) < 2 THEN 0.0
+              ELSE 1.0 - len(list_distinct([t[i] || ' ' || t[i+1] for i in range(1, len(t))]))
+                         / (len(t) - 1)::DOUBLE END AS dup_bigram_frac
+  FROM tk
+),
+counts AS (
+  SELECT doc_id, max(c) / sum(c)::DOUBLE AS top_token_share FROM (
+    SELECT doc_id, tok, count(*) AS c
+    FROM (SELECT doc_id, unnest(t) AS tok FROM tk) GROUP BY doc_id, tok
+  ) GROUP BY doc_id
+)
+SELECT b.doc_id, b.n_tokens,
+       round(coalesce(c.top_token_share, 0.0), 9) AS top_token_share,
+       round(b.dup_bigram_frac, 9) AS dup_bigram_frac
+FROM base b LEFT JOIN counts c USING (doc_id)
+"""
+
+
 Q_QUALITY_SQL = """
 WITH t AS (
   SELECT doc_id, text,
@@ -2647,6 +2685,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "fingerprints": (q_fingerprints, Q_FINGERPRINTS_SQL),
     "lang_scores": (q_lang_scores, _build_lang_sql()),
     "quality_features": (q_quality_features, Q_QUALITY_SQL),
+    "repetition_scores": (q_repetition_scores, Q_REPETITION_SQL),
     "token_counts": (q_token_counts, Q_TOKEN_COUNTS_SQL),
     "ann_cosine_topk": (q_ann_cosine_topk, Q_ANN_COSINE_SQL),
     "ann_lsh_topk": (q_ann_lsh_topk, Q_ANN_LSH_SQL),
