@@ -2037,6 +2037,27 @@ FROM documents
 """
 
 
+def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling plan for video-style payloads: (media_id, frame_idx)
+    every 10th frame, frames co-partitioned with their media id — the
+    explode/partition shape real frame extraction plugs into (decoder
+    stubbed; 1 frame per KB of payload)."""
+    from entity_matchers_spark.operators.multimodal import (
+        frame_sample_plan,
+        media_from_documents,
+    )
+
+    media = media_from_documents(_docs(spark, sf_dir))
+    return frame_sample_plan(media, every_n=10)
+
+
+Q_FRAME_SAMPLE_SQL = """
+SELECT doc_id AS media_id,
+       unnest(range(0, octet_length(encode(text))::BIGINT // 1000 + 1, 10)) AS frame_idx
+FROM documents
+"""
+
+
 _PR_EDGES_SQL = """
   edges AS (
     SELECT DISTINCT 'cust_' || c_custkey AS src, 'nation_' || c_nationkey AS dst FROM customer
@@ -2714,6 +2735,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "stream_dedup": (q_stream_dedup, Q_STREAM_DEDUP_SQL),
     "sessionize": (q_sessionize, Q_SESSIONIZE_SQL),
     "multimodal_features": (q_multimodal_features, Q_MULTIMODAL_SQL),
+    "frame_sample": (q_frame_sample, Q_FRAME_SAMPLE_SQL),
     "pagerank": (q_pagerank, Q_PAGERANK_SQL),
     "degree_guided_sample": (q_degree_guided_sample, Q_DEGREE_SAMPLE_SQL),
     "degree_dd_deletion": (q_degree_dd_deletion, Q_DEGREE_DD_SQL),
