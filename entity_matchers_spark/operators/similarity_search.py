@@ -146,6 +146,77 @@ def hyperplane_bucket_keys_udf(
     return _bucket_keys
 
 
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    nprobe: int = 3,
+    centroid_stride: int = 37,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-style ANN: coarse-quantize the corpus into inverted lists, probe
+    the ``nprobe`` nearest lists per query, exact cosine top-k within.
+
+    The standard billion-scale ANN layout (IVF/Faiss family): candidates
+    per query ∝ probed-list sizes (≈ nprobe·n/√n with √n centroids), never
+    the corpus. Centroids here are a deterministic corpus sample (every
+    ``centroid_stride``-th id — the k-means training step is replaced by a
+    seedless deterministic choice so the oracle reproduces the exact
+    partition); assignment = nearest centroid by 6-dp-rounded L2, ties on
+    centroid id. The inverted-list assignment is computed once and is the
+    natural partitioning key for a materialized index table.
+    """
+    from pyspark.sql import Window
+
+    cents = corpus.where(F.col(id_col) % centroid_stride == 0).select(
+        F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec")
+    )
+
+    def l2(a: Column, b: Column) -> Column:
+        return F.round(
+            F.sqrt(
+                F.aggregate(
+                    F.zip_with(a, b, lambda x, y: (x.cast("double") - y.cast("double"))
+                               * (x.cast("double") - y.cast("double"))),
+                    F.lit(0.0),
+                    lambda acc, v: acc + v,
+                )
+            ),
+            6,
+        )
+
+    def assign(df: DataFrame, prefix: str, n: int) -> DataFrame:
+        d = df.select(F.col(id_col).alias(f"{prefix}_id"), F.col(vec_col).alias(f"{prefix}_vec"))
+        w = Window.partitionBy(f"{prefix}_id").orderBy(F.col("_d").asc(), F.col("cid").asc())
+        return (
+            d.crossJoin(F.broadcast(cents))
+            .withColumn("_d", l2(F.col(f"{prefix}_vec"), F.col("cvec")))
+            .withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") <= n)
+            .select(f"{prefix}_id", f"{prefix}_vec", "cid")
+        )
+
+    lists = assign(corpus, "neighbor", 1)          # inverted lists: 1 cell per vector
+    probes = assign(queries, "query", nprobe)      # nprobe cells per query
+    cands = (
+        probes.join(lists, "cid")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", "query_vec", "neighbor_vec")
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id").asc())
+    return (
+        cands.select(
+            "query_id", "neighbor_id",
+            _rounded_cosine(F.col("query_vec"), F.col("neighbor_vec")).alias("cos"),
+        )
+        .withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id", "cos", "rnk")
+    )
+
+
 def lsh_neardup_pairs(
     corpus: DataFrame,
     threshold: float = 0.35,

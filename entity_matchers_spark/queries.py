@@ -976,6 +976,54 @@ SELECT query_id, neighbor_id, "inner", cos, euc, man, rnk FROM (
 """
 
 
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN (inverted lists from a deterministic centroid sample,
+    nprobe=3 probed lists per query, exact cosine top-5 within)."""
+    from entity_matchers_spark.operators.similarity_search import ivf_topk
+
+    emb = _read(spark, sf_dir, "embeddings")
+    qs = emb.where(F.col("vec_id") % 50 == 0)
+    return ivf_topk(emb, qs, k=5, nprobe=3)
+
+
+Q_ANN_IVF_SQL = """
+WITH emb AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cents AS MATERIALIZED (SELECT vec_id AS cid, v AS cvec FROM emb WHERE vec_id % 37 = 0),
+lists AS MATERIALIZED (
+  SELECT vec_id AS neighbor_id, cid FROM (
+    SELECT e.vec_id, c.cid,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY round(list_distance(e.v, c.cvec), 6) ASC, c.cid ASC) AS rn
+    FROM emb e CROSS JOIN cents c
+  ) WHERE rn = 1
+),
+probes AS MATERIALIZED (
+  SELECT vec_id AS query_id, cid FROM (
+    SELECT e.vec_id, c.cid,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY round(list_distance(e.v, c.cvec), 6) ASC, c.cid ASC) AS rn
+    FROM emb e CROSS JOIN cents c
+    WHERE e.vec_id % 50 = 0
+  ) WHERE rn <= 3
+),
+cands AS MATERIALIZED (
+  SELECT DISTINCT p.query_id, l.neighbor_id
+  FROM probes p JOIN lists l USING (cid)
+  WHERE p.query_id != l.neighbor_id
+)
+SELECT query_id, neighbor_id, cos, rnk FROM (
+  SELECT c.query_id, c.neighbor_id,
+         round(list_cosine_similarity(eq.v, en.v), 6) AS cos,
+         row_number() OVER (PARTITION BY c.query_id
+                            ORDER BY round(list_cosine_similarity(eq.v, en.v), 6) DESC,
+                                     c.neighbor_id ASC) AS rnk
+  FROM cands c
+  JOIN emb eq ON eq.vec_id = c.query_id
+  JOIN emb en ON en.vec_id = c.neighbor_id
+) WHERE rnk <= 5
+"""
+
+
 NEARDUP_EMB_PLANES = 4
 NEARDUP_EMB_TABLES = 8
 NEARDUP_EMB_THRESHOLD = 0.35
@@ -2712,6 +2760,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "ann_lsh_topk": (q_ann_lsh_topk, Q_ANN_LSH_SQL),
     "ann_multimetric": (q_ann_multimetric, Q_ANN_MULTIMETRIC_SQL),
     "neardup_embedding": (q_neardup_embedding, Q_NEARDUP_EMBEDDING_SQL),
+    "ann_ivf_topk": (q_ann_ivf_topk, Q_ANN_IVF_SQL),
     "triples_parse_stats": (q_triples_parse_stats, Q_TRIPLES_PARSE_SQL),
     "triples_remove_unlinked": (q_triples_remove_unlinked, Q_TRIPLES_REMOVE_UNLINKED_SQL),
     "links_fixpoint": (q_links_fixpoint, Q_LINKS_FIXPOINT_SQL),
