@@ -106,6 +106,7 @@ def prefix_filtered_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.8,
     max_bitmap_vocab: int = 1 << 20,
+    broadcast_bytes_cap: int = 64 << 20,
 ) -> DataFrame:
     """EXACT (id_a, id_b, jaccard) for char n-gram Jaccard ≥ threshold via
     positional prefix filtering (the AllPairs/PPJoin bound) — no recall
@@ -136,10 +137,17 @@ def prefix_filtered_jaccard_pairs(
     e = grams_arr.select("id", "sz", F.explode("grams").alias("g"))
     dfreq = e.groupBy("g").agg(F.count("*").alias("df"))
     w = Window.partitionBy("id").orderBy(F.col("df").asc(), F.col("g").asc())
+    # ceil(t*sz) computed with an epsilon guard: in pure floating point,
+    # exactly-integral products round UP (0.8*5 = 4.0000000000000004 →
+    # ceil 5), shortening the prefix by one gram and silently dropping
+    # pairs whose Jaccard equals the threshold exactly. The epsilon is far
+    # below any representable t*sz gap, so non-integral products are
+    # unaffected.
+    min_overlap = F.ceil(F.lit(threshold) * F.col("sz") - F.lit(1e-9))
     prefix = (
         e.join(dfreq, "g")
         .withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") <= F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1)
+        .where(F.col("rn") <= F.col("sz") - min_overlap + 1)
         .select("id", "sz", "g")
     )
     # PPJoin length filter (also exact): J >= t forces t*|A| <= |B| and
@@ -155,7 +163,10 @@ def prefix_filtered_jaccard_pairs(
         .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
         .distinct()
     )
-    return _exact_jaccard_verify(cands, grams_arr, threshold, dfreq=dfreq)
+    return _exact_jaccard_verify(
+        cands, grams_arr, threshold, dfreq=dfreq,
+        max_bitmap_vocab=max_bitmap_vocab, broadcast_bytes_cap=broadcast_bytes_cap,
+    )
 
 
 def _exact_jaccard_verify(
@@ -164,24 +175,31 @@ def _exact_jaccard_verify(
     threshold: float,
     dfreq: DataFrame | None = None,
     max_bitmap_vocab: int = 1 << 20,
+    broadcast_bytes_cap: int = 64 << 20,
 ) -> DataFrame:
     """Exact-Jaccard verification of candidate pairs, shared by the prefix
     and MinHash near-dup paths.
 
     The candidate set is O(true pairs) rows but each side needs its full
-    gram set. Broadcasting the per-doc representation (a |docs|-sized
-    table, tiny next to the pair set) keeps verification map-side; beyond
-    broadcast scale, bucket both sides on id instead.
+    gram set. The per-doc representation table is SIZE-ESTIMATED and only
+    broadcast when it fits ``broadcast_bytes_cap`` (map-side verify);
+    beyond that the verify degrades gracefully to a plain shuffled
+    equi-join on id — never a driver/executor OOM from an unconditional
+    hint.
 
-    Representation is ADAPTIVE on the global gram vocabulary V (char
-    n-gram space is alphabet^n-bounded, so V is small even on web text):
-    - V <= max_bitmap_vocab: remap gram hashes to dense ids, pack each
-      doc into a V-bit bitmap; Jaccard = popcount(AND) via a 16-bit LUT.
-      ~100x cheaper than the per-pair merge AND shrinks the broadcast
-      (V/8 bytes/doc vs 8 bytes/gram).
+    Representation is ADAPTIVE on actual BYTES, not vocab size alone
+    (every doc's bitmap is V/8 bytes regardless of its gram count, so a
+    near-cutoff V with many small docs would be far LARGER than the gram
+    arrays it replaces):
+    - dense V-bit bitmaps (n_docs·width bytes total) when the vocabulary
+      fits ``max_bitmap_vocab`` AND the bitmap table is at most ~2× the
+      8-bytes-per-gram arrays; Jaccard = popcount(AND) via a 16-bit LUT,
+      ~100x cheaper than the per-pair merge.
     - else: sorted-hash arrays + the vectorized merge kernel.
     Both paths compute identical integer counts -> identical Jaccard, so
-    callers' oracles are representation-independent.
+    callers' oracles are representation-independent. The two driver-side
+    scalars fetched here (doc/gram counts, vocab size) are physical-plan
+    decisions, the same role AQE's runtime statistics play.
     """
     from pyspark.sql import Window
 
@@ -191,12 +209,26 @@ def _exact_jaccard_verify(
     if dfreq is None:
         dfreq = e.groupBy("g").agg(F.count("*").alias("df"))
     vocab_size = dfreq.count()
-    if vocab_size <= max_bitmap_vocab:
+    stats = grams_arr.agg(
+        F.count("*").alias("n_docs"),
+        F.coalesce(F.sum("sz"), F.lit(0)).alias("total_grams"),
+    ).collect()[0]
+    n_docs, total_grams = int(stats["n_docs"]), int(stats["total_grams"])
+    width_bytes = max(2, -(-vocab_size // 16) * 2)  # even, for uint16 view
+    gram_bytes = total_grams * 8
+    use_bitmap = (
+        vocab_size <= max_bitmap_vocab and n_docs * width_bytes <= 2 * gram_bytes
+    )
+    rep_bytes = n_docs * width_bytes if use_bitmap else gram_bytes
+
+    def _maybe_bcast(df: DataFrame) -> DataFrame:
+        return F.broadcast(df) if rep_bytes <= broadcast_bytes_cap else df
+
+    if use_bitmap:
         vocab = dfreq.select(
             "g",
             (F.row_number().over(Window.orderBy("g")) - 1).alias("gid"),
         )
-        width_bytes = max(2, -(-vocab_size // 16) * 2)  # even, for uint16 view
         gids = (
             e.join(F.broadcast(vocab), "g")
             .groupBy("id")
@@ -209,8 +241,8 @@ def _exact_jaccard_verify(
         bb = bitmaps.select(F.col("id").alias("id_b"), F.col("bm").alias("bm_b"), F.col("sz").alias("sz_b"))
         jac = _bitmap_jaccard_udf()
         return (
-            cands.join(F.broadcast(ba), "id_a")
-            .join(F.broadcast(bb), "id_b")
+            cands.join(_maybe_bcast(ba), "id_a")
+            .join(_maybe_bcast(bb), "id_b")
             .withColumn("jaccard", jac(F.col("bm_a"), F.col("bm_b"), F.col("sz_a"), F.col("sz_b")))
             .where(F.col("jaccard") >= threshold)
             .select("id_a", "id_b", "jaccard")
@@ -218,8 +250,8 @@ def _exact_jaccard_verify(
     ga = grams_arr.select(F.col("id").alias("id_a"), F.col("grams").alias("ga"))
     gb = grams_arr.select(F.col("id").alias("id_b"), F.col("grams").alias("gb"))
     return (
-        cands.join(F.broadcast(ga), "id_a")
-        .join(F.broadcast(gb), "id_b")
+        cands.join(_maybe_bcast(ga), "id_a")
+        .join(_maybe_bcast(gb), "id_b")
         .withColumn("jaccard", jaccard_hashed_udf(F.col("ga"), F.col("gb")))
         .where(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")

@@ -21,6 +21,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+# The reference's low-degree deletion boost threshold is a fixed literal
+# (SampKG generator.py:169: ``if degree < 8``), NOT derived from its degree
+# cap — kept as a module constant so the coupling is explicit.
+LOW_DEGREE_BOOST_CUTOFF = 8
+
 
 def pagerank(
     edges: DataFrame,
@@ -179,7 +184,10 @@ def degree_distribution_deletion(
 
     lowest-PageRank entities, where ddc is the CURRENT degree-distribution
     fraction, ddo the TARGET (the reference's original-dataset
-    distribution), and mult = 3 when d < 8 and the bucket is
+    distribution), and mult = 3 when d < LOW_DEGREE_BOOST_CUTOFF (= 8, the
+    reference's FIXED literal — generator.py:169 hard-codes ``degree < 8``
+    independent of its own degree cap, so the boost deliberately does NOT
+    track ``max_degree`` here either) and the bucket is
     over-represented (the reference's low-degree boost). The reference
     additionally deletes a random sub-quota (delete_random_ratio); here
     that ratio is 0 so the operator is deterministic — ranking is
@@ -203,7 +211,9 @@ def degree_distribution_deletion(
         F.lit(0.0),
     )
     frac = F.col("sz") / F.col("n")
-    mult = F.when((F.col("d") < 8) & (frac > ddo), F.lit(3.0)).otherwise(F.lit(1.0))
+    mult = F.when(
+        (F.col("d") < LOW_DEGREE_BOOST_CUTOFF) & (frac > ddo), F.lit(3.0)
+    ).otherwise(F.lit(1.0))
     deln = buckets.select(
         "d",
         (F.col("sz") * delete_ratio * mult * (F.lit(1.0) + frac - ddo))

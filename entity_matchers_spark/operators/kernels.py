@@ -76,18 +76,35 @@ def doc_token_hashes(df: DataFrame, id_col: str, text_col: str, max_tokens: int 
 
 
 def _embed_batch(arrs: pd.Series, max_tokens: int, dim: int) -> tuple[np.ndarray, np.ndarray]:
-    """(n, T, D) embedding tensor + (n, T) validity mask; per-token vectors
-    come from the bounded ``_token_vector`` LRU cache."""
+    """(n, T, D) embedding tensor + (n, T) validity mask.
+
+    Vectorized vocab-then-gather (no per-PAIR Python): flatten the batch's
+    token hashes, ``np.unique`` them into a small per-batch vocabulary,
+    compute each unique token's vector once (bounded by vocab size, not
+    rows × T — the md5 hash is the only remaining Python loop and runs per
+    DISTINCT token), then scatter-gather the (vocab, D) matrix into the
+    (n, T, D) tensor with fancy indexing."""
     n = len(arrs)
     out = np.zeros((n, max_tokens, dim), dtype=np.float64)
     mask = np.zeros((n, max_tokens), dtype=bool)
-    for i, arr in enumerate(arrs):
-        if arr is None:
-            continue
-        m = min(len(arr), max_tokens)
-        for j in range(m):
-            out[i, j] = _token_vector(int(arr[j]), dim)
-        mask[i, :m] = True
+    lens = np.fromiter(
+        (0 if a is None else min(len(a), max_tokens) for a in arrs),
+        dtype=np.int64, count=n,
+    )
+    total = int(lens.sum())
+    if total == 0:
+        return out, mask
+    flat = np.concatenate(
+        [np.asarray(a[:max_tokens], dtype=np.int64) for a in arrs if a is not None and len(a)]
+    )
+    uniq, inv = np.unique(flat, return_inverse=True)
+    vocab = np.empty((len(uniq), dim), dtype=np.float64)
+    for i, t in enumerate(uniq):
+        vocab[i] = _token_vector(int(t), dim)
+    rows = np.repeat(np.arange(n, dtype=np.int64), lens)
+    cols = np.arange(total, dtype=np.int64) - np.repeat(np.cumsum(lens) - lens, lens)
+    out[rows, cols] = vocab[inv]
+    mask[rows, cols] = True
     return out, mask
 
 

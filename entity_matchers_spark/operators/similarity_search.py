@@ -12,6 +12,16 @@ matrix:
   lshash.py's hyperplanes) from deterministic md5-derived plane vectors;
   multi-table union of same-bucket candidates, cosine-ranked. The scale
   path: candidates ∝ bucket size, not corpus size.
+- IVF inverted lists: deterministic centroid sample, nprobe probing — the
+  billion-scale layout; also backs the near-dup pair generator, whose
+  candidate count grows LINEARLY in n (cell count ∝ n, cell size ∝ the
+  stride constant), unlike fixed-plane hyperplane bucketing whose bucket
+  count is constant and therefore quadratic at scale.
+
+Norm discipline: the L2 norm is a per-VECTOR quantity. Every ranker here
+computes it map-side once and ships the scalar, so the per-pair cosine is a
+single zip_with dot — not three array traversals (the scoring.py:109-114
+pattern; recomputing norms per pair was a measured 6× regression).
 """
 
 from __future__ import annotations
@@ -22,18 +32,32 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from entity_matchers_spark.functions.hashing import minhash_permutation_params
-from entity_matchers_spark.functions.similarity import (
-    cosine_similarity,
-    euclidean_similarity,
-    inner_product,
-    manhattan_similarity,
-)
 
 
-def _rounded_cosine(a: Column, b: Column) -> Column:
-    """Cosine rounded to 6 dp: ranking keys must be stable across engines
-    whose float summation order may differ by a ULP."""
-    return F.round(cosine_similarity(a, b), 6)
+def vector_norm(c: Column) -> Column:
+    """L2 norm of an ``array<float|double>`` column — identical fold order
+    to ``cosine_similarity``'s internal norms, so precomputed-norm cosines
+    are bit-equal to the inline form."""
+    return F.sqrt(
+        F.aggregate(c, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double"))
+    )
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _rounded_cosine_from_norms(a: Column, b: Column, na: Column, nb: Column) -> Column:
+    """Cosine from precomputed norms, rounded to 6 dp: ranking keys must be
+    stable across engines whose float summation order may differ by a ULP.
+    One array traversal per pair (the dot); zero-norm vectors → 0.0."""
+    return F.round(
+        F.when((na == 0) | (nb == 0), F.lit(0.0)).otherwise(_dot(a, b) / (na * nb)), 6
+    )
 
 
 def cosine_topk(
@@ -47,16 +71,27 @@ def cosine_topk(
 
     Queries are broadcast (small side by contract); the corpus streams
     through one stage computing the dot products, then a window takes top-k
-    per query. No n×n materialization.
+    per query. No n×n materialization; norms precomputed map-side on both
+    sides (per-vector, not per-pair).
     """
     from pyspark.sql import Window
 
-    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    ).withColumn("qn", vector_norm(F.col("qv")))
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
+    ).withColumn("cn", vector_norm(F.col("cv")))
     scored = (
         c.crossJoin(F.broadcast(q))
         .where(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "neighbor_id", _rounded_cosine(F.col("qv"), F.col("cv")).alias("cos"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            _rounded_cosine_from_norms(
+                F.col("qv"), F.col("cv"), F.col("qn"), F.col("cn")
+            ).alias("cos"),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id").asc())
     return (
@@ -81,21 +116,36 @@ def multimetric_topk(
     config, args_best/rdgcn_args_DBP_YG_15K.json).
 
     Same plan shape as cosine_topk: broadcast query side, one streaming
-    stage computes all four metrics from a single pass over the pair's
-    vectors, window top-k. No n×n matrix, no UDF."""
+    stage computes all four metrics, window top-k. The dot product is
+    computed ONCE and reused for both inner and cosine (norms precomputed
+    map-side), so each pair costs three array traversals (dot, euclidean,
+    manhattan) instead of five. No n×n matrix, no UDF."""
     from pyspark.sql import Window
 
-    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    from entity_matchers_spark.functions.similarity import (
+        euclidean_similarity,
+        manhattan_similarity,
+    )
+
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    ).withColumn("qn", vector_norm(F.col("qv")))
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
+    ).withColumn("cn", vector_norm(F.col("cv")))
     qv, cv = F.col("qv"), F.col("cv")
+    dot = _dot(qv, cv)
+    cos = F.when((F.col("qn") == 0) | (F.col("cn") == 0), F.lit(0.0)).otherwise(
+        dot / (F.col("qn") * F.col("cn"))
+    )
     scored = (
         c.crossJoin(F.broadcast(q))
         .where(F.col("query_id") != F.col("neighbor_id"))
         .select(
             "query_id",
             "neighbor_id",
-            F.round(inner_product(qv, cv), 6).alias("inner"),
-            F.round(cosine_similarity(qv, cv), 6).alias("cos"),
+            F.round(dot, 6).alias("inner"),
+            F.round(cos, 6).alias("cos"),
             F.round(euclidean_similarity(qv, cv), 6).alias("euc"),
             F.round(manhattan_similarity(qv, cv), 6).alias("man"),
         )
@@ -146,6 +196,61 @@ def hyperplane_bucket_keys_udf(
     return _bucket_keys
 
 
+def _centroids(corpus: DataFrame, id_col: str, vec_col: str, centroid_stride: int) -> DataFrame:
+    """Deterministic centroid sample: every ``centroid_stride``-th id.
+
+    Centroid COUNT therefore grows linearly with the corpus — the property
+    that keeps IVF cell sizes bounded (≈ stride) at any scale. Assumes a
+    dense non-negative numeric id space; raises if the sample comes back
+    empty (string/sparse ids would otherwise silently produce zero rows
+    downstream)."""
+    cents = corpus.where(F.col(id_col) % centroid_stride == 0).select(
+        F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec")
+    )
+    if cents.isEmpty():
+        raise ValueError(
+            f"IVF centroid sample is empty: no `{id_col}` satisfies "
+            f"id % {centroid_stride} == 0 — centroid selection requires a "
+            "dense numeric id column (remap string ids first)"
+        )
+    return cents
+
+
+def _l2_rounded(a: Column, b: Column) -> Column:
+    return F.round(
+        F.sqrt(
+            F.aggregate(
+                F.zip_with(a, b, lambda x, y: (x.cast("double") - y.cast("double"))
+                           * (x.cast("double") - y.cast("double"))),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+        ),
+        6,
+    )
+
+
+def _assign_cells(
+    df: DataFrame, cents: DataFrame, id_col: str, vec_col: str, prefix: str, n: int
+) -> DataFrame:
+    """(prefix_id, prefix_vec, prefix_norm, cid): each vector's ``n``
+    nearest centroids by 6-dp-rounded L2, ties on centroid id. The norm is
+    computed here, once per vector, so downstream cosines are single-dot."""
+    from pyspark.sql import Window
+
+    d = df.select(
+        F.col(id_col).alias(f"{prefix}_id"), F.col(vec_col).alias(f"{prefix}_vec")
+    ).withColumn(f"{prefix}_norm", vector_norm(F.col(f"{prefix}_vec")))
+    w = Window.partitionBy(f"{prefix}_id").orderBy(F.col("_d").asc(), F.col("cid").asc())
+    return (
+        d.crossJoin(F.broadcast(cents))
+        .withColumn("_d", _l2_rounded(F.col(f"{prefix}_vec"), F.col("cvec")))
+        .withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= n)
+        .select(f"{prefix}_id", f"{prefix}_vec", f"{prefix}_norm", "cid")
+    )
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -159,61 +264,91 @@ def ivf_topk(
     the ``nprobe`` nearest lists per query, exact cosine top-k within.
 
     The standard billion-scale ANN layout (IVF/Faiss family): candidates
-    per query ∝ probed-list sizes (≈ nprobe·n/√n with √n centroids), never
-    the corpus. Centroids here are a deterministic corpus sample (every
-    ``centroid_stride``-th id — the k-means training step is replaced by a
-    seedless deterministic choice so the oracle reproduces the exact
-    partition); assignment = nearest centroid by 6-dp-rounded L2, ties on
-    centroid id. The inverted-list assignment is computed once and is the
-    natural partitioning key for a materialized index table.
+    per query ∝ probed-list sizes (≈ nprobe·stride with n/stride
+    centroids), never the corpus. Centroids are a deterministic corpus
+    sample (the k-means training step replaced by a seedless deterministic
+    choice so the oracle reproduces the exact partition). The inverted-list
+    assignment is computed once and is the natural partitioning key for a
+    materialized index table.
     """
     from pyspark.sql import Window
 
-    cents = corpus.where(F.col(id_col) % centroid_stride == 0).select(
-        F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec")
-    )
-
-    def l2(a: Column, b: Column) -> Column:
-        return F.round(
-            F.sqrt(
-                F.aggregate(
-                    F.zip_with(a, b, lambda x, y: (x.cast("double") - y.cast("double"))
-                               * (x.cast("double") - y.cast("double"))),
-                    F.lit(0.0),
-                    lambda acc, v: acc + v,
-                )
-            ),
-            6,
-        )
-
-    def assign(df: DataFrame, prefix: str, n: int) -> DataFrame:
-        d = df.select(F.col(id_col).alias(f"{prefix}_id"), F.col(vec_col).alias(f"{prefix}_vec"))
-        w = Window.partitionBy(f"{prefix}_id").orderBy(F.col("_d").asc(), F.col("cid").asc())
-        return (
-            d.crossJoin(F.broadcast(cents))
-            .withColumn("_d", l2(F.col(f"{prefix}_vec"), F.col("cvec")))
-            .withColumn("_rn", F.row_number().over(w))
-            .where(F.col("_rn") <= n)
-            .select(f"{prefix}_id", f"{prefix}_vec", "cid")
-        )
-
-    lists = assign(corpus, "neighbor", 1)          # inverted lists: 1 cell per vector
-    probes = assign(queries, "query", nprobe)      # nprobe cells per query
+    cents = _centroids(corpus, id_col, vec_col, centroid_stride)
+    lists = _assign_cells(corpus, cents, id_col, vec_col, "neighbor", 1)
+    probes = _assign_cells(queries, cents, id_col, vec_col, "query", nprobe)
     cands = (
         probes.join(lists, "cid")
         .where(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "neighbor_id", "query_vec", "neighbor_vec")
+        .select("query_id", "neighbor_id", "query_vec", "neighbor_vec",
+                "query_norm", "neighbor_norm")
         .dropDuplicates(["query_id", "neighbor_id"])
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id").asc())
     return (
         cands.select(
             "query_id", "neighbor_id",
-            _rounded_cosine(F.col("query_vec"), F.col("neighbor_vec")).alias("cos"),
+            _rounded_cosine_from_norms(
+                F.col("query_vec"), F.col("neighbor_vec"),
+                F.col("query_norm"), F.col("neighbor_norm"),
+            ).alias("cos"),
         )
         .withColumn("rnk", F.row_number().over(w))
         .where(F.col("rnk") <= k)
         .select("query_id", "neighbor_id", "cos", "rnk")
+    )
+
+
+def ivf_neardup_pairs(
+    corpus: DataFrame,
+    threshold: float = 0.35,
+    nprobe: int = 2,
+    centroid_stride: int = 37,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs routed through the IVF cells:
+    every vector joins its ``nprobe`` nearest centroid cells, candidates
+    are same-cell pairs, verification is the exact cosine ≥ threshold.
+
+    THE scale property (vs fixed-plane hyperplane bucketing): the number of
+    cells grows with n (centroids are a stride sample) while expected cell
+    size stays ≈ nprobe·stride, so candidate pairs ≈ n·nprobe²·stride/2 —
+    LINEAR in corpus size. Fixed sign-bit bucketing has a constant number
+    of buckets, making candidates ∝ n² — an all-pairs join in disguise at
+    web scale. Recall is tuned by nprobe (probing 2 cells ≈ MinHash's
+    multi-band trick); verification keeps the output exact for whatever
+    candidates form.
+
+    The pair join ships ids only; vectors+norms are joined back per side
+    afterwards (pairs ≫ docs at scale, so candidates stay narrow through
+    the shuffle).
+    """
+    cents = _centroids(corpus, id_col, vec_col, centroid_stride)
+    cells = _assign_cells(corpus, cents, id_col, vec_col, "m", nprobe).select(
+        F.col("m_id").alias("id"), "cid"
+    )
+    cands = (
+        cells.alias("l")
+        .join(cells.alias("r"), "cid")
+        .where(F.col("l.id") < F.col("r.id"))
+        .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    base = corpus.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("vec")
+    ).withColumn("norm", vector_norm(F.col("vec")))
+    a = base.select(F.col("id").alias("id_a"), F.col("vec").alias("va"), F.col("norm").alias("na"))
+    b = base.select(F.col("id").alias("id_b"), F.col("vec").alias("vb"), F.col("norm").alias("nb"))
+    return (
+        cands.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            "id_a", "id_b",
+            _rounded_cosine_from_norms(
+                F.col("va"), F.col("vb"), F.col("na"), F.col("nb")
+            ).alias("cos"),
+        )
+        .where(F.col("cos") >= threshold)
     )
 
 
@@ -227,21 +362,23 @@ def lsh_neardup_pairs(
     num_tables: int = 8,
     seed: int = 11037,
 ) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs: same-bucket candidates over
-    ``num_tables`` hyperplane tables, verified by exact cosine ≥ threshold.
+    """Embedding-cosine near-duplicate pairs via hyperplane-LSH buckets,
+    verified by exact cosine ≥ threshold.
 
-    The embedding analog of the MinHash near-dup path: candidates come from
-    bucket equi-joins (∝ bucket sizes, never n²), verification is the exact
-    native cosine. Fewer planes per table → coarser buckets → higher recall
-    at moderate thresholds; recall is tunable via (planes, tables) exactly
-    like band/row counts in MinHash-LSH. The oracle reproduces the same
-    deterministic bucketing, so the gate checks the operator value-for-value.
+    SCALE CAVEAT: with fixed ``num_planes`` the bucket count is constant
+    (2^planes per table), so candidate pairs grow ∝ n² — callers at scale
+    must grow planes ~log2(n/target_bucket_size) (adding tables to hold
+    recall) or use :func:`ivf_neardup_pairs`, whose candidate count is
+    linear in n by construction. Kept as the recall-tunable small-corpus
+    variant (the MinHash band/row analogy maps directly onto
+    planes/tables).
     """
     keys_udf = hyperplane_bucket_keys_udf(dim, num_planes, num_tables, seed)
-    b = corpus.select(
-        F.col(id_col).alias("id"),
-        F.col(vec_col).alias("vec"),
-        F.explode(keys_udf(F.col(vec_col))).alias("bucket"),
+    base = corpus.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("vec")
+    ).withColumn("norm", vector_norm(F.col("vec")))
+    b = base.select(
+        "id", "vec", "norm", F.explode(keys_udf(F.col("vec"))).alias("bucket")
     )
     cands = (
         b.alias("l")
@@ -252,11 +389,18 @@ def lsh_neardup_pairs(
             F.col("r.id").alias("id_b"),
             F.col("l.vec").alias("va"),
             F.col("r.vec").alias("vb"),
+            F.col("l.norm").alias("na"),
+            F.col("r.norm").alias("nb"),
         )
         .dropDuplicates(["id_a", "id_b"])
     )
     return (
-        cands.select("id_a", "id_b", _rounded_cosine(F.col("va"), F.col("vb")).alias("cos"))
+        cands.select(
+            "id_a", "id_b",
+            _rounded_cosine_from_norms(
+                F.col("va"), F.col("vb"), F.col("na"), F.col("nb")
+            ).alias("cos"),
+        )
         .where(F.col("cos") >= threshold)
     )
 
@@ -277,16 +421,19 @@ def lsh_ann_topk(
 
     Each table is an equi-join on a 8-bit bucket id → expected candidate set
     n/256 per table. Recall grows with tables; cost stays ∝ bucket sizes.
+    Bucket bits must grow ~log2(n) at scale (see lsh_neardup_pairs caveat).
     """
     from pyspark.sql import Window
 
     keys_udf = hyperplane_bucket_keys_udf(dim, num_planes, num_tables, seed)
 
     def bucketed(df: DataFrame, prefix: str) -> DataFrame:
-        return df.select(
-            F.col(id_col).alias(f"{prefix}_id"),
-            F.col(vec_col).alias(f"{prefix}_vec"),
-            F.explode(keys_udf(F.col(vec_col))).alias("bucket"),
+        base = df.select(
+            F.col(id_col).alias(f"{prefix}_id"), F.col(vec_col).alias(f"{prefix}_vec")
+        ).withColumn(f"{prefix}_norm", vector_norm(F.col(f"{prefix}_vec")))
+        return base.select(
+            f"{prefix}_id", f"{prefix}_vec", f"{prefix}_norm",
+            F.explode(keys_udf(F.col(f"{prefix}_vec"))).alias("bucket"),
         )
 
     qb = bucketed(queries, "query")
@@ -294,13 +441,17 @@ def lsh_ann_topk(
     cands = (
         cb.join(qb, "bucket")
         .where(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "neighbor_id", "query_vec", "neighbor_vec")
+        .select("query_id", "neighbor_id", "query_vec", "neighbor_vec",
+                "query_norm", "neighbor_norm")
         .dropDuplicates(["query_id", "neighbor_id"])
     )
     scored = cands.select(
         "query_id",
         "neighbor_id",
-        _rounded_cosine(F.col("query_vec"), F.col("neighbor_vec")).alias("cos"),
+        _rounded_cosine_from_norms(
+            F.col("query_vec"), F.col("neighbor_vec"),
+            F.col("query_norm"), F.col("neighbor_norm"),
+        ).alias("cos"),
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id").asc())
     return (

@@ -247,3 +247,66 @@ def test_bitmap_jaccard_matches_sorted_kernel():
         assert (sorted_out == bm_out).all()
 
     check()
+
+
+def test_prefix_filter_recall_at_integral_threshold(spark):
+    """t=0.8 with gram-set sizes making t*sz exactly integral: IEEE noise
+    (0.8*5 = 4.0000000000000004) must not shorten the prefix and drop a
+    pair whose Jaccard is exactly the threshold (ADVICE r2)."""
+    from pyspark.sql import functions as F
+
+    from entity_matchers_spark.functions.shingles import hashed_shingles
+    from entity_matchers_spark.functions.similarity import jaccard_arrays
+    from entity_matchers_spark.operators.dedup import prefix_filtered_jaccard_pairs
+
+    # 7-char strings -> five 3-grams each; pairs sharing 4 of 6 distinct
+    # grams have J = 4/6; engineered exact-threshold pairs below use
+    # overlapping windows so J lands exactly on 0.8 for some pair sizes.
+    rows = [
+        (0, "abcdefg"),    # grams: abc bcd cde def efg  (sz=5)
+        (1, "abcdefh"),    # shares abc bcd cde def -> J = 4/6
+        (2, "abcdefg"),    # identical to 0 -> J = 1.0
+        (3, "zabcdefg"),   # superset: 6 grams, shares all 5 -> J = 5/6
+        (4, "qrstuvw"),
+        (5, "qrstuvw"),    # identical -> J = 1.0
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    for t in (0.8, 0.75, 5.0 / 6.0):
+        got = {
+            (r["id_a"], r["id_b"])
+            for r in prefix_filtered_jaccard_pairs(docs, threshold=t).collect()
+        }
+        g = docs.select(F.col("doc_id").alias("id"), hashed_shingles(F.lower("text")).alias("ga"))
+        a = g.select(F.col("id").alias("id_a"), F.col("ga").alias("gA"))
+        b = g.select(F.col("id").alias("id_b"), F.col("ga").alias("gB"))
+        brute = {
+            (r["id_a"], r["id_b"])
+            for r in a.crossJoin(b)
+            .where(F.col("id_a") < F.col("id_b"))
+            .withColumn("j", jaccard_arrays(F.col("gA"), F.col("gB")))
+            .where(F.col("j") >= t)
+            .collect()
+        }
+        assert got == brute, f"t={t}: {got} != {brute}"
+        assert len(brute) > 0
+
+
+def test_jaccard_verify_non_broadcast_path(spark):
+    """broadcast_bytes_cap=0 forces the plain shuffled-join verify: results
+    must be identical to the broadcast plan (the graceful-degrade path for
+    corpora whose per-doc representation exceeds broadcast scale)."""
+    from entity_matchers_spark.operators.dedup import prefix_filtered_jaccard_pairs
+
+    rows = [(i, f"the quick brown fox number {i % 4}") for i in range(20)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    bcast = {
+        (r["id_a"], r["id_b"], round(r["jaccard"], 9))
+        for r in prefix_filtered_jaccard_pairs(docs, threshold=0.5).collect()
+    }
+    shuffled = {
+        (r["id_a"], r["id_b"], round(r["jaccard"], 9))
+        for r in prefix_filtered_jaccard_pairs(
+            docs, threshold=0.5, broadcast_bytes_cap=0
+        ).collect()
+    }
+    assert bcast == shuffled and len(bcast) > 0
