@@ -459,3 +459,40 @@ def lsh_ann_topk(
         .where(F.col("rnk") <= k)
         .select("query_id", "neighbor_id", "cos", "rnk")
     )
+
+
+def ivf_neardup_audit(
+    corpus: DataFrame,
+    nprobe: int = 2,
+    centroid_stride: int = 37,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """One-row audit of the IVF near-dup candidate generator — the
+    embedding analog of ``blocking_metrics``' stats.csv: corpus size,
+    centroid/cell counts, the largest cell, and the DISTINCT candidate
+    pair count the verify stage would score.
+
+    This is the linear-scaling evidence at a glance: n_candidates /
+    n_vectors should stay ≈ nprobe²·stride/2 as the corpus grows (it
+    would grow ∝ n under fixed-bucket LSH)."""
+    cents = _centroids(corpus, id_col, vec_col, centroid_stride)
+    cells = _assign_cells(corpus, cents, id_col, vec_col, "m", nprobe).select(
+        F.col("m_id").alias("id"), "cid"
+    )
+    cands = (
+        cells.alias("l")
+        .join(cells.alias("r"), "cid")
+        .where(F.col("l.id") < F.col("r.id"))
+        .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    sizes = cells.groupBy("cid").agg(F.count("*").alias("n"))
+    return (
+        corpus.agg(F.count("*").alias("n_vectors"))
+        .crossJoin(sizes.agg(
+            F.count("*").alias("n_cells"),
+            F.max("n").alias("max_cell"),
+        ))
+        .crossJoin(cands.agg(F.count("*").alias("n_candidates")))
+    )

@@ -310,3 +310,24 @@ def test_jaccard_verify_non_broadcast_path(spark):
         ).collect()
     }
     assert bcast == shuffled and len(bcast) > 0
+
+
+def test_ivf_neardup_candidates_scale_linearly(spark):
+    """The VERDICT-r2 scale criterion for embedding near-dup: candidate
+    count must grow ~linearly with corpus size (fixed-plane LSH grew ∝ n²).
+    embeddings: 500 vectors at sf0.01 → 2000 at sf0.1 (4×); the IVF route's
+    candidates-per-vector must stay within a constant factor."""
+    from entity_matchers_spark.operators.similarity_search import ivf_neardup_audit
+
+    rows = {}
+    for sf in ("sf0.01", "sf0.1"):
+        emb = spark.read.parquet(f"/root/testdata/{sf}/embeddings.parquet")
+        rows[sf] = ivf_neardup_audit(emb).collect()[0]
+    n_ratio = rows["sf0.1"]["n_vectors"] / rows["sf0.01"]["n_vectors"]
+    cand_ratio = rows["sf0.1"]["n_candidates"] / max(1, rows["sf0.01"]["n_candidates"])
+    assert n_ratio == 4.0
+    # linear: candidate growth tracks corpus growth (allow 2x constant-factor
+    # drift from cell-size variance); quadratic would be n_ratio² = 16
+    assert cand_ratio <= 2.0 * n_ratio, (rows["sf0.01"], rows["sf0.1"])
+    # cells grow with the corpus (centroids are a stride sample)
+    assert rows["sf0.1"]["n_cells"] > rows["sf0.01"]["n_cells"]
