@@ -384,3 +384,81 @@ def simhash_neardup_pairs(
         .where(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+def segment_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seg_tokens: int = 5,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Corpus-level segment dedup (CCNet/RefinedWeb-style boilerplate
+    removal): split every document into consecutive ``seg_tokens``-token
+    segments, count the DISTINCT documents containing each segment across
+    the whole corpus, and rebuild each document keeping only segments seen
+    in fewer than ``min_docs`` documents.
+
+    Beyond the reference's entity-alignment scope — the standard web-corpus
+    cleaning step between exact and near dedup (paragraph-hash dedup in
+    CCNet; the reference's nearest analog is its per-attribute literal
+    cleaning, /root/reference/src/preprocess_datasets/preprocess_dataset.py).
+
+    Returns (id, clean_text, n_segments, n_removed) — one row per input
+    document, ``clean_text = ''`` when every segment was boilerplate.
+
+    Scale shape: one map-side explode (segments are derived per-doc, no
+    data crosses the wire to *create* them), one distinct+count on the
+    64-bit segment key, one anti-join of segments against the duplicated
+    key set, one groupBy(id) rebuild. The duplicated-key set is the
+    corpus's boilerplate vocabulary — tiny relative to the corpus (it is
+    bounded by n_docs·n_segs/min_docs but in practice by the amount of
+    shared template text), so AQE turns the anti-join into a broadcast at
+    real scale; no pair-wise work anywhere, everything is linear in corpus
+    size. The rebuild shuffles only KEPT segment text, grouped by doc id.
+    """
+    toks = F.split(F.col(text_col), " ")
+    n_seg = F.ceil(F.size(toks) / F.lit(float(seg_tokens))).cast("int")
+    segs = (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(0), n_seg - 1),
+                    lambda i: F.concat_ws(
+                        " ", F.slice(toks, i * seg_tokens + 1, seg_tokens)
+                    ),
+                )
+            ).alias("seg_idx", "seg"),
+        )
+    )
+    # duplicated-segment vocabulary: distinct (seg, id) -> per-seg doc count
+    dup = (
+        segs.select("seg", "id")
+        .distinct()
+        .groupBy("seg")
+        .count()
+        .where(F.col("count") >= min_docs)
+        .select("seg")
+    )
+    kept = segs.join(dup, "seg", "left_anti")
+    rebuilt = kept.groupBy("id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("seg_idx", "seg"))),
+                lambda x: x["seg"],
+            ),
+            " ",
+        ).alias("clean_text"),
+        F.count("*").alias("n_kept"),
+    )
+    totals = segs.groupBy("id").agg(F.count("*").alias("n_segments"))
+    return (
+        totals.join(rebuilt, "id", "left")
+        .select(
+            "id",
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+            "n_segments",
+            (F.col("n_segments") - F.coalesce("n_kept", F.lit(0))).alias("n_removed"),
+        )
+    )

@@ -115,6 +115,107 @@ def greedy_weighted_matching(
     return matched
 
 
+def stable_marriage(
+    scored: DataFrame,
+    max_rounds: int = 100,
+    score_col: str = "score",
+) -> DataFrame:
+    """Suitor-optimal stable matching (distributed Gale–Shapley).
+
+    Reference: ``stable_alignment`` + ``galeshapley``
+    (/root/reference/OpenEA_Mod/src/openea/modules/finding/alignment.py:92-148,
+    180-233). The reference builds full preference lists from the dense
+    similarity matrix with a stable argsort (ties break on the smaller
+    partner index) and runs at most ``cut``/``max_iteration`` = 100 rounds of
+    deferred acceptance. Here the preference lists are the *sparse* blocked
+    candidate set — the natural generalization: a suitor who exhausts their
+    candidate list stays unmatched, exactly as if all non-candidates ranked
+    below every candidate.
+
+    Spark shape (no dense matrix, no driver dicts):
+
+    - preference ranks are two ``row_number`` windows computed ONCE
+      (``rank_a`` = suitor's ordering of reviewers, ``rank_b`` = reviewer's
+      ordering of suitors), ties broken on partner id ascending — the
+      DataFrame analog of the reference's stable ``(-sim).argsort()``;
+    - per round, every free suitor proposes to their best REMAINING
+      reviewer (one window over ``rank_a``), each reviewer keeps the
+      contender with the smallest ``rank_b`` among proposals ∪ current
+      engagement (one window), and the preference table is pruned of every
+      entry the reviewer now rejects outright (not strictly better than
+      their current partner — reviewers only trade up, so pruned entries
+      can never win later);
+    - state (``prefs``, ``engaged``) is ``localCheckpoint``ed each round to
+      cut lineage; the loop stops when a round makes no proposals.
+
+    Deferred acceptance is proposal-order invariant, so this list-shrinking
+    parallel variant reaches the same suitor-optimal matching as the
+    reference's sequential loop; pruning makes each round eliminate every
+    losing proposal permanently, so rounds ≈ longest chain of distinct
+    "trade-up" events rather than the longest preference list. The
+    reference's own cap (100) is the default. Each round is three shuffles
+    over a monotonically shrinking pair table, so the operator scales with
+    the candidate set, not n².
+    """
+    wa = Window.partitionBy("id_a").orderBy(F.col(score_col).desc(), F.col("id_b").asc())
+    wb = Window.partitionBy("id_b").orderBy(F.col(score_col).desc(), F.col("id_a").asc())
+    prefs = (
+        scored.select("id_a", "id_b", score_col)
+        .withColumn("rank_a", F.row_number().over(wa))
+        .withColumn("rank_b", F.row_number().over(wb))
+        .localCheckpoint(eager=True)
+    )
+    engaged: DataFrame | None = None
+    w_best_a = Window.partitionBy("id_a").orderBy(F.col("rank_a").asc())
+    w_best_b = Window.partitionBy("id_b").orderBy(F.col("rank_b").asc())
+    for _ in range(max_rounds):
+        # Every free suitor proposes to their best REMAINING reviewer.
+        # ``prefs`` only ever contains entries the reviewer would currently
+        # accept (see prune below), so each proposal either wins the
+        # reviewer or loses to a better simultaneous proposal and is pruned
+        # next round — this list-shrinking variant reaches the same
+        # suitor-optimal matching as one-at-a-time proposing (deferred
+        # acceptance is proposal-order invariant) in far fewer rounds.
+        free_prefs = (
+            prefs
+            if engaged is None
+            else prefs.join(engaged.select("id_a"), "id_a", "left_anti")
+        )
+        proposals = (
+            free_prefs.withColumn("_rn", F.row_number().over(w_best_a))
+            .where(F.col("_rn") == 1)
+            .drop("_rn")
+            .localCheckpoint(eager=True)
+        )
+        if proposals.count() == 0:
+            break
+        contenders = (
+            proposals if engaged is None else proposals.unionByName(engaged)
+        )
+        engaged = (
+            contenders.withColumn("_rn", F.row_number().over(w_best_b))
+            .where(F.col("_rn") == 1)
+            .drop("_rn")
+            .localCheckpoint(eager=True)
+        )
+        # Prune every entry the reviewer now rejects outright: anything not
+        # strictly better (for the reviewer) than their current partner.
+        # Reviewers only trade up, so pruned entries can never win later;
+        # the engaged pair itself is pruned too — if its suitor is bumped,
+        # their next proposal must go elsewhere anyway.
+        prefs = (
+            prefs.join(
+                engaged.select("id_b", F.col("rank_b").alias("_cur")), "id_b", "left"
+            )
+            .where(F.col("_cur").isNull() | (F.col("rank_b") < F.col("_cur")))
+            .drop("_cur")
+            .localCheckpoint(eager=True)
+        )
+    if engaged is None:
+        return scored.select("id_a", "id_b", score_col).limit(0)
+    return engaged.select("id_a", "id_b", score_col)
+
+
 def resolve_conflicts(
     prev: DataFrame, new: DataFrame, score_col: str = "score"
 ) -> DataFrame:

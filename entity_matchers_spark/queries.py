@@ -647,6 +647,57 @@ FROM documents GROUP BY 1
 """
 
 
+SEG_DEDUP_TOKENS = 5
+SEG_DEDUP_MIN_DOCS = 2
+
+
+def q_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style corpus-level segment dedup: drop 5-token segments that
+    appear in ≥2 distinct documents (boilerplate removal), rebuild text."""
+    from entity_matchers_spark.operators.dedup import segment_dedup
+
+    return segment_dedup(
+        _docs(spark, sf_dir),
+        seg_tokens=SEG_DEDUP_TOKENS,
+        min_docs=SEG_DEDUP_MIN_DOCS,
+    )
+
+
+Q_SEGMENT_DEDUP_SQL = f"""
+WITH toks AS MATERIALIZED (
+  SELECT doc_id AS id, string_split(text, ' ') AS t FROM documents
+),
+segs AS MATERIALIZED (
+  SELECT id, s['i'] AS seg_idx, s['seg'] AS seg FROM (
+    SELECT id,
+           unnest([{{'i': i, 'seg': array_to_string(
+                       t[(i*{SEG_DEDUP_TOKENS}+1):(i*{SEG_DEDUP_TOKENS}+{SEG_DEDUP_TOKENS})], ' ')}}
+                   for i in range(0, cast(ceil(len(t)/{SEG_DEDUP_TOKENS}.0) as int))]) AS s
+    FROM toks)
+),
+dup AS MATERIALIZED (
+  SELECT seg FROM (
+    SELECT seg, count(DISTINCT id) AS cd FROM segs GROUP BY seg
+  ) WHERE cd >= {SEG_DEDUP_MIN_DOCS}
+),
+kept AS (
+  SELECT s.id, s.seg_idx, s.seg FROM segs s
+  WHERE NOT EXISTS (SELECT 1 FROM dup d WHERE d.seg = s.seg)
+),
+rebuilt AS (
+  SELECT id, string_agg(seg, ' ' ORDER BY seg_idx) AS clean_text,
+         count(*) AS n_kept
+  FROM kept GROUP BY id
+),
+totals AS (
+  SELECT id, count(*) AS n_segments FROM segs GROUP BY id
+)
+SELECT t.id, coalesce(r.clean_text, '') AS clean_text,
+       t.n_segments, t.n_segments - coalesce(r.n_kept, 0) AS n_removed
+FROM totals t LEFT JOIN rebuilt r USING (id)
+"""
+
+
 # Stop-gram frequency cap for the exact gram self-joins: a gram appearing
 # in more documents than this is dropped from the JOIN (denominators keep
 # the full gram-set sizes, so the resulting Jaccard is a lower bound that
@@ -1724,6 +1775,19 @@ SELECT count(*) AS n_gold,
 FROM gold_ranked
 """
 )
+
+
+def q_er_stable_marriage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suitor-optimal stable matching over the blocked candidate scores
+    (distributed Gale–Shapley, alignment.py:92-148,180-233 semantics).
+
+    No SQL oracle: deferred acceptance is inherently iterative (DuckDB 1.0
+    has no updatable recursive CTE), so the driver records the weaker
+    rows-only check; value-level verification lives in
+    tests/test_matching_clustering.py against an independent dict-based
+    Gale–Shapley plus a no-blocking-pair stability invariant."""
+    scored = _er_spark_scores(spark, sf_dir)
+    return matching.stable_marriage(scored).select("id_a", "id_b", "score")
 
 
 def q_er_mwgm_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2862,6 +2926,8 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     # -- (3) new in round 3
     "embedding_roundtrip": (q_embedding_roundtrip, Q_EMBEDDING_ROUNDTRIP_SQL),
     "er_block_keys_2gram": (q_er_block_keys_2gram, Q_ER_BLOCK_KEYS_2GRAM_SQL),
+    "segment_dedup": (q_segment_dedup, Q_SEGMENT_DEDUP_SQL),
+    "er_stable_marriage": (q_er_stable_marriage, None),
     # -- (4) no driver row in r2 / implementation changed in round 3
     "multimodal_features": (q_multimodal_features, Q_MULTIMODAL_SQL),
     "pagerank": (q_pagerank, Q_PAGERANK_SQL),

@@ -331,3 +331,28 @@ def test_ivf_neardup_candidates_scale_linearly(spark):
     assert cand_ratio <= 2.0 * n_ratio, (rows["sf0.01"], rows["sf0.1"])
     # cells grow with the corpus (centroids are a stride sample)
     assert rows["sf0.1"]["n_cells"] > rows["sf0.01"]["n_cells"]
+
+
+def test_segment_dedup_semantics(spark):
+    """Known shape: one shared 2-token boilerplate segment across two docs
+    is removed everywhere; unique segments survive; a doc that is ALL
+    boilerplate comes back with empty clean_text."""
+    from entity_matchers_spark.operators.dedup import segment_dedup
+
+    docs = spark.createDataFrame(
+        [
+            (1, "click here unique alpha beta"),   # segs: "click here", "unique alpha", "beta"
+            (2, "click here other gamma delta"),   # segs: "click here", "other gamma", "delta"
+            (3, "click here click here"),          # segs: "click here", "click here" -> all dup
+            (4, "totally fresh content words x"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.id: r for r in segment_dedup(docs, seg_tokens=2).collect()}
+    assert out[1].clean_text == "unique alpha beta"
+    assert (out[1].n_segments, out[1].n_removed) == (3, 1)
+    assert out[2].clean_text == "other gamma delta"
+    assert out[3].clean_text == ""
+    assert (out[3].n_segments, out[3].n_removed) == (2, 2)
+    assert out[4].clean_text == "totally fresh content words x"
+    assert out[4].n_removed == 0

@@ -115,3 +115,100 @@ def test_hits_at_k(spark):
     assert r.hits_at_2 == pytest.approx(1.0)
     assert r.mr == pytest.approx(1.5)
     assert r.mrr == pytest.approx((1 / 2 + 1 / 1) / 2)
+
+
+# --- stable marriage (Gale-Shapley) ----------------------------------------
+
+
+def _gs_reference(pairs):
+    """Independent dict-based deferred acceptance mirroring the reference's
+    ``galeshapley`` (alignment.py:180-233): suitor-optimal, stable argsort
+    preference order (score desc, partner id asc on ties)."""
+    from collections import defaultdict
+
+    sp = defaultdict(list)
+    rp = defaultdict(list)
+    for a, b, s in pairs:
+        sp[a].append((-s, b))
+        rp[b].append((-s, a))
+    sprefs = {a: [b for _, b in sorted(v)] for a, v in sp.items()}
+    rrank = {
+        b: {a: i for i, (_, a) in enumerate(sorted(v))} for b, v in rp.items()
+    }
+    ptr = {a: 0 for a in sprefs}
+    match_of_b: dict = {}
+    free = list(sprefs)
+    while free:
+        nxt = []
+        for a in free:
+            if ptr[a] >= len(sprefs[a]):
+                continue  # exhausted: stays unmatched
+            b = sprefs[a][ptr[a]]
+            ptr[a] += 1
+            cur = match_of_b.get(b)
+            if cur is None:
+                match_of_b[b] = a
+            elif rrank[b][a] < rrank[b][cur]:
+                match_of_b[b] = a
+                nxt.append(cur)
+            else:
+                nxt.append(a)
+        free = [a for a in nxt if ptr[a] < len(sprefs[a])]
+    return {(a, b) for b, a in match_of_b.items()}
+
+
+def test_stable_marriage_matches_reference_gs(spark):
+    from entity_matchers_spark.operators.matching import stable_marriage
+
+    import random
+
+    rng = random.Random(11037)
+    pairs = []
+    seen = set()
+    for _ in range(400):
+        a, b = rng.randrange(40), 100 + rng.randrange(40)
+        if (a, b) in seen:
+            continue
+        seen.add((a, b))
+        pairs.append((a, b, round(rng.random(), 6)))
+    scored = _scores(spark, pairs)
+    got = {(r.id_a, r.id_b) for r in stable_marriage(scored).collect()}
+    assert got == _gs_reference(pairs)
+
+
+def test_stable_marriage_no_blocking_pair(spark):
+    """Stability invariant: no candidate pair (a,b) where both strictly
+    prefer each other over their assigned partners (unmatched = worst)."""
+    from entity_matchers_spark.operators.matching import stable_marriage
+
+    import random
+
+    rng = random.Random(7)
+    pairs = [
+        (a, 100 + b, round(rng.random(), 6))
+        for a in range(25)
+        for b in rng.sample(range(25), 8)
+    ]
+    scored = _scores(spark, pairs)
+    m = {(r.id_a, r.id_b): r.score for r in stable_marriage(scored).collect()}
+    score_of_a = {}
+    score_of_b = {}
+    for (a, b), s in m.items():
+        score_of_a[a] = s
+        score_of_b[b] = s
+    for a, b, s in pairs:
+        if (a, b) in m:
+            continue
+        a_prefers = s > score_of_a.get(a, float("-inf"))
+        b_prefers = s > score_of_b.get(b, float("-inf"))
+        assert not (a_prefers and b_prefers), f"blocking pair {(a, b, s)}"
+
+
+def test_stable_marriage_tie_break(spark):
+    from entity_matchers_spark.operators.matching import stable_marriage
+
+    # ties everywhere -> suitor-optimal with partner-id-asc preference:
+    # 1 proposes to 10 (lowest id) and wins (lowest suitor id preferred)
+    scored = _scores(spark, [(1, 10, 0.5), (1, 11, 0.5), (2, 10, 0.5), (2, 11, 0.5)])
+    got = {(r.id_a, r.id_b) for r in stable_marriage(scored).collect()}
+    assert got == {(1, 10), (2, 11)}
