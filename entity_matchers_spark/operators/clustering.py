@@ -35,11 +35,14 @@ def connected_components(
 ) -> DataFrame:
     """(id, cluster_id) for every node appearing in ``edges``;
     cluster_id = min node id in the component."""
-    und = (
-        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-        .union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
-        .distinct()
-    )
+    base = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    if checkpoint:
+        # Materialize the edge list BEFORE mirroring it: ``und`` references
+        # the input twice (u→v ∪ v→u), and without this checkpoint both
+        # union branches re-run the full upstream pipeline — for a near-dup
+        # graph that is the entire LSH-join+verify, doubling its cost.
+        base = base.localCheckpoint()
+    und = base.union(base.select(F.col("v").alias("u"), F.col("u").alias("v"))).distinct()
     labels = und.select(F.col("u").alias("id")).distinct().withColumn("cluster_id", F.col("id"))
     if checkpoint:
         und = und.localCheckpoint()

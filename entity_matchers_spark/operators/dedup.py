@@ -462,3 +462,39 @@ def segment_dedup(
             (F.col("n_segments") - F.coalesce("n_kept", F.lit(0))).alias("n_removed"),
         )
     )
+
+
+def neardup_resolve(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.7,
+) -> DataFrame:
+    """End-to-end near-dup resolution: MinHash-LSH pairs → connected
+    components → one canonical keeper per duplicate cluster.
+
+    This is the step that actually SHRINKS the corpus: `minhash_neardup_pairs`
+    emits the duplicate graph, hash-min CC groups transitively-linked docs
+    (A~B, B~C ⇒ {A,B,C} even when J(A,C) < t — the standard web-dedup
+    semantics), and the min doc id in each component is kept. Reference
+    analog: the alignment→cluster step the north rule adds on top of
+    entity-matchers' pairwise decisions; same CC machinery as
+    `clustering.connected_components`.
+
+    Returns one row per input document: (id, cluster_id, keep ∈ {0,1}).
+    keep = 1 iff the doc is its component's min id (singletons keep).
+
+    Scale shape: the pair stage is the banded-LSH join (bounded buckets),
+    CC is O(diameter) shuffles on id only — near-dup components are
+    near-cliques so diameter is tiny — and keeper selection is a projection
+    of the CC labels (id == cluster_id), no extra shuffle.
+    """
+    from entity_matchers_spark.operators.clustering import clusters_with_singletons
+
+    pairs = minhash_neardup_pairs(df, id_col=id_col, text_col=text_col, threshold=threshold)
+    cc = clusters_with_singletons(df, pairs.select("id_a", "id_b"), id_col=id_col)
+    return cc.select(
+        "id",
+        "cluster_id",
+        (F.col("id") == F.col("cluster_id")).cast("int").alias("keep"),
+    )

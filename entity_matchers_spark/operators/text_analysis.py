@@ -160,3 +160,60 @@ def repetition_features(
         F.coalesce(F.col("top_token_share"), F.lit(0.0)).alias("top_token_share"),
         "dup_bigram_frac",
     )
+
+
+def contamination_flags(
+    df: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+) -> DataFrame:
+    """Benchmark decontamination: flag corpus docs sharing any token
+    ``n``-gram with a held-out benchmark set (the GPT-3/PaLM-style 13-gram
+    overlap check, scaled down to the synthetic corpus's short docs).
+
+    ``benchmark`` is a DataFrame with the same ``text_col``. Returns one row
+    per corpus doc: (id, n_hits = count of DISTINCT shared n-grams,
+    contaminated ∈ {0,1}).
+
+    Scale shape: benchmark suites are tiny (thousands of docs) next to a
+    100 TB corpus, so their distinct gram set is broadcast — the corpus side
+    is one map-side shingle + explode, one broadcast-hash semi-join, one
+    groupBy(id) count; nothing pairwise, no corpus-side shuffle besides the
+    final per-doc count. Grams travel as 32-bit md5-derived ints (engine-
+    reproducible, 4x smaller than strings). Reference analog: the train/test
+    leak guard in the reference's split handling
+    (/root/reference/src/experiments/dataset_division.py) lifted from id
+    space to content space.
+    """
+    from entity_matchers_spark.functions.shingles import token_shingles
+
+    def hashed_grams(c):
+        return F.array_distinct(
+            F.transform(
+                token_shingles(c, n=n),
+                lambda g: F.conv(F.substring(F.md5(g), 1, 8), 16, 10).cast("long"),
+            )
+        )
+
+    bench_grams = (
+        benchmark.select(F.explode(hashed_grams(F.col(text_col))).alias("g")).distinct()
+    )
+    doc_grams = df.select(
+        F.col(id_col).alias("id"), F.explode(hashed_grams(F.col(text_col))).alias("g")
+    )
+    hits = (
+        doc_grams.join(F.broadcast(bench_grams), "g")
+        .groupBy("id")
+        .agg(F.count("*").alias("n_hits"))
+    )
+    return (
+        df.select(F.col(id_col).alias("id"))
+        .join(hits, "id", "left")
+        .select(
+            "id",
+            F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
+            (F.coalesce("n_hits", F.lit(0)) > 0).cast("int").alias("contaminated"),
+        )
+    )

@@ -761,6 +761,92 @@ WHERE CASE WHEN len(list_distinct(a.grams || b.grams)) = 0 THEN 0.0
 """
 
 
+def q_neardup_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup RESOLUTION: MinHash-LSH pairs (J ≥ 0.7) → hash-min connected
+    components → keep the min doc id per duplicate cluster. The step that
+    actually shrinks the corpus; transitive semantics (A~B, B~C groups
+    {A,B,C}) match the standard web-dedup contract."""
+    from entity_matchers_spark.operators.dedup import neardup_resolve
+
+    return neardup_resolve(_docs(spark, sf_dir), threshold=0.7)
+
+
+Q_NEARDUP_RESOLVE_SQL = """
+WITH RECURSIVE g AS MATERIALIZED (
+  SELECT doc_id AS id,
+         list_distinct([('0x'||substr(md5(substr(t, i, 3)),1,8))::UBIGINT::BIGINT
+                        for i in range(1, len(t)-1)]) AS grams
+  FROM (SELECT doc_id, lower(text) AS t FROM documents)
+),
+edges AS MATERIALIZED (
+  SELECT a.id AS id_a, b.id AS id_b
+  FROM g a JOIN g b ON a.id < b.id
+  WHERE CASE WHEN len(list_distinct(a.grams || b.grams)) = 0 THEN 0.0
+         ELSE len(list_intersect(a.grams, b.grams))
+              / len(list_distinct(a.grams || b.grams))::DOUBLE END >= 0.7
+),
+und AS MATERIALIZED (
+  SELECT id_a AS u, id_b AS v FROM edges
+  UNION SELECT id_b AS u, id_a AS v FROM edges
+),
+reach(u, v) AS (
+  SELECT u, v FROM und
+  UNION
+  SELECT r.u, n.v FROM reach r JOIN und n ON r.v = n.u
+),
+cc AS (SELECT u AS id, least(u, min(v)) AS cluster_id FROM reach GROUP BY u)
+SELECT d.doc_id AS id, coalesce(cc.cluster_id, d.doc_id) AS cluster_id,
+       CASE WHEN coalesce(cc.cluster_id, d.doc_id) = d.doc_id THEN 1 ELSE 0 END AS keep
+FROM documents d LEFT JOIN cc ON d.doc_id = cc.id
+"""
+
+
+# Decontamination: benchmark = every 97th doc id (deterministic stand-in for
+# a held-out eval suite); corpus = the rest; overlap key = token 5-grams.
+DECON_BENCH_MOD = 97
+DECON_NGRAM = 5
+
+
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-3/PaLM-style decontamination: flag corpus docs sharing any token
+    5-gram with the benchmark subset (doc_id % 97 == 0)."""
+    from entity_matchers_spark.operators.text_analysis import contamination_flags
+
+    docs = _docs(spark, sf_dir)
+    bench = docs.where((F.col("doc_id") % DECON_BENCH_MOD) == 0)
+    corpus = docs.where((F.col("doc_id") % DECON_BENCH_MOD) != 0)
+    return contamination_flags(corpus, bench, n=DECON_NGRAM)
+
+
+Q_DECONTAMINATE_SQL = f"""
+WITH toks AS MATERIALIZED (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\\s+'), x -> x != '') AS ts
+  FROM documents
+),
+grams AS MATERIALIZED (
+  SELECT doc_id,
+         list_distinct([('0x'||substr(md5(array_to_string(ts[i:i+{DECON_NGRAM - 1}], ' ')),1,8))::UBIGINT::BIGINT
+                        for i in range(1, len(ts)-{DECON_NGRAM - 2})]) AS gs
+  FROM toks
+),
+bench AS MATERIALIZED (
+  SELECT DISTINCT g FROM (
+    SELECT unnest(gs) AS g FROM grams WHERE doc_id % {DECON_BENCH_MOD} = 0)
+),
+hits AS (
+  SELECT doc_id, count(*) AS n_hits FROM (
+    SELECT doc_id, unnest(gs) AS g FROM grams WHERE doc_id % {DECON_BENCH_MOD} <> 0
+  ) cg JOIN bench USING (g)
+  GROUP BY doc_id
+)
+SELECT d.doc_id AS id, coalesce(h.n_hits, 0)::BIGINT AS n_hits,
+       CASE WHEN coalesce(h.n_hits, 0) > 0 THEN 1 ELSE 0 END AS contaminated
+FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+WHERE d.doc_id % {DECON_BENCH_MOD} <> 0
+"""
+
+
 _SIMHASH_SQL_CTE = """
   toks AS (
     SELECT doc_id AS id,
@@ -2927,6 +3013,8 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "embedding_roundtrip": (q_embedding_roundtrip, Q_EMBEDDING_ROUNDTRIP_SQL),
     "er_block_keys_2gram": (q_er_block_keys_2gram, Q_ER_BLOCK_KEYS_2GRAM_SQL),
     "segment_dedup": (q_segment_dedup, Q_SEGMENT_DEDUP_SQL),
+    "neardup_resolve": (q_neardup_resolve, Q_NEARDUP_RESOLVE_SQL),
+    "decontaminate": (q_decontaminate, Q_DECONTAMINATE_SQL),
     "er_stable_marriage": (q_er_stable_marriage, None),
     # -- (4) no driver row in r2 / implementation changed in round 3
     "multimodal_features": (q_multimodal_features, Q_MULTIMODAL_SQL),

@@ -356,3 +356,53 @@ def test_segment_dedup_semantics(spark):
     assert (out[3].n_segments, out[3].n_removed) == (2, 2)
     assert out[4].clean_text == "totally fresh content words x"
     assert out[4].n_removed == 0
+
+
+def test_neardup_resolve_transitive_keeper(spark):
+    """A~B and B~C near-dups (A,C may fall below the threshold) must land in
+    ONE cluster keeping only the min id; unrelated docs are kept singletons."""
+    from entity_matchers_spark.operators.dedup import neardup_resolve
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    docs = spark.createDataFrame(
+        [
+            (10, base),
+            (11, base + " x"),
+            (12, base + " x y"),
+            (20, "completely different content about spark shuffles and joins"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.id: r for r in neardup_resolve(docs, threshold=0.7).collect()}
+    assert len(out) == 4
+    assert out[10].cluster_id == out[11].cluster_id == out[12].cluster_id == 10
+    assert (out[10].keep, out[11].keep, out[12].keep) == (1, 0, 0)
+    assert out[20].cluster_id == 20 and out[20].keep == 1
+
+
+def test_contamination_flags(spark):
+    """Docs sharing a 5-token gram with the benchmark are flagged with the
+    DISTINCT shared-gram count; clean docs come back contaminated=0."""
+    from entity_matchers_spark.operators.text_analysis import contamination_flags
+
+    bench = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon zeta")],
+        "doc_id long, text string",
+    )
+    corpus = spark.createDataFrame(
+        [
+            # shares grams "alpha beta gamma delta epsilon" AND "beta gamma delta epsilon zeta"
+            (1, "x alpha beta gamma delta epsilon zeta y"),
+            # shares exactly one 5-gram
+            (2, "alpha beta gamma delta epsilon nothing else here"),
+            (3, "no overlap with anything benchmark related at all"),
+            (4, "short doc"),  # fewer than 5 tokens -> no grams
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.id: r for r in contamination_flags(corpus, bench, n=5).collect()}
+    assert len(out) == 4
+    assert out[1].n_hits == 2 and out[1].contaminated == 1
+    assert out[2].n_hits == 1 and out[2].contaminated == 1
+    assert out[3].n_hits == 0 and out[3].contaminated == 0
+    assert out[4].n_hits == 0 and out[4].contaminated == 0
