@@ -69,6 +69,41 @@ def align_attrs_by_name(
     )
 
 
+def _pair_contribs(
+    candidates: DataFrame,
+    ev1: DataFrame,
+    ev2: DataFrame,
+    attr_pairs: DataFrame,
+) -> DataFrame:
+    """(e1, e2, s, c): sum and count of value-Levenshtein contributions of
+    the given attribute pairs per candidate pair. Summable across disjoint
+    attribute-pair sets — the incremental unit of the interactive loop."""
+    j = (
+        candidates.join(ev1.select(F.col("ent").alias("e1"), F.col("attr").alias("a1"), F.col("value").alias("v1")), "e1")
+        .join(F.broadcast(attr_pairs), "a1")
+        .join(
+            ev2.select(F.col("ent").alias("e2"), F.col("attr").alias("a2"), F.col("value").alias("v2")),
+            ["e2", "a2"],
+        )
+    )
+    return (
+        j.withColumn("vsim", levenshtein_ratio(F.col("v1"), F.col("v2")))
+        .groupBy("e1", "e2")
+        .agg(F.sum("vsim").alias("s"), F.count("*").alias("c"))
+    )
+
+
+def _decide_entities(contribs: DataFrame, threshold: float) -> DataFrame:
+    """avg = s/c, threshold, mutual-best → (e1, e2, sim)."""
+    sims = contribs.select(
+        "e1", "e2", (F.col("s") / F.col("c")).alias("sim")
+    ).where(F.col("sim") > threshold)
+    return mutual_best(
+        sims.select(F.col("e1").alias("id_a"), F.col("e2").alias("id_b"), F.col("sim").alias("score")),
+        score_col="score",
+    ).select(F.col("id_a").alias("e1"), F.col("id_b").alias("e2"), F.col("score").alias("sim"))
+
+
 def align_entities_by_attrs(
     candidates: DataFrame,
     ev1: DataFrame,
@@ -79,24 +114,7 @@ def align_entities_by_attrs(
     """(e1, e2, sim): per candidate pair, avg Levenshtein ratio over the
     aligned attribute pairs both entities carry (run_one_ea semantics),
     thresholded then mutual-best."""
-    j = (
-        candidates.join(ev1.select(F.col("ent").alias("e1"), F.col("attr").alias("a1"), F.col("value").alias("v1")), "e1")
-        .join(F.broadcast(attr_pairs), "a1")
-        .join(
-            ev2.select(F.col("ent").alias("e2"), F.col("attr").alias("a2"), F.col("value").alias("v2")),
-            ["e2", "a2"],
-        )
-    )
-    sims = (
-        j.withColumn("vsim", levenshtein_ratio(F.col("v1"), F.col("v2")))
-        .groupBy("e1", "e2")
-        .agg(F.avg("vsim").alias("sim"))
-        .where(F.col("sim") > threshold)
-    )
-    return mutual_best(
-        sims.select(F.col("e1").alias("id_a"), F.col("e2").alias("id_b"), F.col("sim").alias("score")),
-        score_col="score",
-    ).select(F.col("id_a").alias("e1"), F.col("id_b").alias("e2"), F.col("score").alias("sim"))
+    return _decide_entities(_pair_contribs(candidates, ev1, ev2, attr_pairs), threshold)
 
 
 def align_attrs_by_entities(
@@ -146,8 +164,26 @@ def imuse_interactive(
     candidates = candidates.localCheckpoint(eager=True)
     attr_pairs = align_attrs_by_name(attrs1, attrs2, attr_name_threshold)
     aligned: DataFrame | None = None
+    # Incremental per-pair (sum, count) contributions: each round joins
+    # candidates only against the attribute pairs DISCOVERED that round and
+    # folds them into the running sums — avg over the union of disjoint
+    # attr-pair sets is (Σs)/(Σc), identical to recomputing from scratch,
+    # at a third of the join/Levenshtein volume for 2 rounds (and O(rounds)
+    # less at more rounds).
+    contribs: DataFrame | None = None
+    processed = attr_pairs  # full accumulated attr-pair set (for anti-joins)
     for r in range(rounds):
-        new = align_entities_by_attrs(candidates, ev1, ev2, attr_pairs, ent_threshold)
+        delta = _pair_contribs(candidates, ev1, ev2, attr_pairs)
+        if contribs is None:
+            contribs = delta
+        else:
+            contribs = (
+                contribs.unionByName(delta)
+                .groupBy("e1", "e2")
+                .agg(F.sum("s").alias("s"), F.sum("c").alias("c"))
+            )
+        contribs = contribs.localCheckpoint(eager=True)
+        new = _decide_entities(contribs, ent_threshold)
         new = new.withColumn("round", F.lit(r))
         if aligned is None:
             aligned = new
@@ -158,7 +194,7 @@ def imuse_interactive(
         aligned = aligned.localCheckpoint(eager=True)
         if r < rounds - 1:
             new_attr = align_attrs_by_entities(aligned, ev1, ev2, attr_threshold)
-            attr_pairs = (
-                attr_pairs.unionByName(new_attr).distinct().localCheckpoint(eager=True)
-            )
+            # next round's delta = pairs not already folded into contribs
+            attr_pairs = new_attr.join(processed, ["a1", "a2"], "left_anti").localCheckpoint(eager=True)
+            processed = processed.unionByName(attr_pairs).localCheckpoint(eager=True)
     return aligned.select("e1", "e2", "sim", "round")

@@ -272,3 +272,183 @@ def align_predicates(
         .where(F.col("score") >= threshold)
     )
     return mutual_best(scored)
+
+
+def hard_negatives(
+    scored: DataFrame,
+    gold: DataFrame,
+    k: int = 10,
+    side: str = "a",
+    score_col: str = "score",
+) -> DataFrame:
+    """Hard-negative mining pool: per entity, the top-``k`` most similar
+    candidates that are NOT its gold match.
+
+    Reference: the periodic ``generate_neighbours`` top-ε neighborhood used
+    as the negative-sampling pool
+    (/root/reference/OpenEA_Mod/src/openea/approaches/../modules/train/
+    batch.py:136-167; refresh loop basic_model.py:285-298). The reference
+    scans the dense n×n similarity matrix; here the pool comes from the
+    sparse blocked candidate set — an anti-join against gold plus one
+    window top-k, so the cost is |candidates| log k, not n².
+
+    gold: (id_a, id_b) true links; returns (id, neg_id, score, rank).
+    """
+    me, other = (f"id_{side}", "id_b" if side == "a" else "id_a")
+    neg = scored.join(gold.select("id_a", "id_b"), ["id_a", "id_b"], "left_anti")
+    w = Window.partitionBy(me).orderBy(F.col(score_col).desc(), F.col(other).asc())
+    return (
+        neg.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            F.col(me).alias("id"),
+            F.col(other).alias("neg_id"),
+            F.col(score_col).alias("score"),
+            "rank",
+        )
+    )
+
+
+def _hungarian_max(weights):
+    """Exact max-weight assignment on a rectangular weight matrix (numpy,
+    no scipy in this environment). Returns (rows, cols) index arrays of the
+    optimal assignment of the PADDED square problem; callers drop pairs
+    with non-positive weight (zero-padded cells = "leave unmatched", valid
+    because every real edge weight is > 0).
+
+    Classic O(n^3) shortest-augmenting-path Hungarian (potentials u/v, one
+    augmentation per row) with the inner column scan vectorized in numpy —
+    fine for the per-component sizes blocking produces (tens of nodes).
+    """
+    import numpy as np
+
+    w = np.asarray(weights, dtype=np.float64)
+    n = max(w.shape)
+    cost = np.zeros((n + 1, n + 1))
+    cost[1 : w.shape[0] + 1, 1 : w.shape[1] + 1] = -w  # maximize -> minimize
+    u = np.zeros(n + 1)
+    v = np.zeros(n + 1)
+    p = np.zeros(n + 1, dtype=np.int64)  # p[j] = row matched to column j
+    way = np.zeros(n + 1, dtype=np.int64)
+    cols = np.arange(n + 1)
+    for i in range(1, n + 1):
+        p[0] = i
+        j0 = 0
+        minv = np.full(n + 1, np.inf)
+        used = np.zeros(n + 1, dtype=bool)
+        while True:
+            used[j0] = True
+            i0 = p[j0]
+            free = ~used
+            free[0] = False
+            cur = cost[i0, free] - u[i0] - v[free]
+            sub = minv[free]
+            upd = cur < sub
+            minv[free] = np.where(upd, cur, sub)
+            wayf = way[free]
+            wayf[upd] = j0
+            way[free] = wayf
+            fidx = cols[free]
+            if fidx.size == 0:
+                break
+            k = np.argmin(minv[free])
+            j1 = int(fidx[k])
+            delta = minv[j1]
+            u[p[used]] += delta
+            v[used] -= delta
+            minv[~used] -= delta
+            j0 = j1
+            if p[j0] == 0:
+                break
+        while j0 != 0:
+            j1 = way[j0]
+            p[j0] = p[j1]
+            j0 = j1
+    rows = np.empty(n, dtype=np.int64)
+    rows[p[1:] - 1] = cols[1:] - 1
+    # rows[r] = column assigned to row r
+    return np.arange(n), rows
+
+
+def mwgm_exact(
+    scored: DataFrame,
+    score_col: str = "score",
+    max_component: int = 4096,
+) -> DataFrame:
+    """EXACT max-weight bipartite matching over the blocked candidate set.
+
+    Reference: ``mwgm_graph_tool`` / ``mwgm_igraph``
+    (/root/reference/OpenEA_Mod/src/openea/modules/bootstrapping/
+    alignment_finder.py:84-140) solve the whole candidate graph in one
+    driver-side library call — unusable at 10^12 docs. The matching
+    polytope decomposes over connected components, so the distributed
+    shape is: hash-min connected components over the candidate edges, then
+    one exact Hungarian solve PER COMPONENT inside ``applyInPandas``
+    (components after blocking are tiny; the all-pairs structure the
+    reference feeds graph-tool never arises).
+
+    Determinism among equal-weight optima: weights are perturbed by
+    ``1e-9 * U(id_a, id_b)`` with U a deterministic md5-derived uniform,
+    so tie-breaks are stable at any parallelism (the reference inherits
+    graph-tool's internal order instead). Components larger than
+    ``max_component`` nodes raise — at that size the blocking stage, not
+    the matcher, is misconfigured.
+
+    Returns (id_a, id_b, score) of the optimal matching.
+    """
+    import pandas as pd
+
+    from entity_matchers_spark.operators.clustering import connected_components
+
+    edges = scored.select(
+        F.concat(F.lit("A:"), F.col("id_a").cast("string")).alias("u"),
+        F.concat(F.lit("B:"), F.col("id_b").cast("string")).alias("v"),
+    )
+    comp = connected_components(edges, src="u", dst="v")
+    pairs = (
+        scored.select("id_a", "id_b", F.col(score_col).alias("score"))
+        .withColumn("u", F.concat(F.lit("A:"), F.col("id_a").cast("string")))
+        .join(comp.withColumnRenamed("id", "u"), "u")
+        .drop("u")
+    )
+    out_schema = pairs.select("id_a", "id_b", "score").schema
+
+    def solve(pdf: pd.DataFrame) -> pd.DataFrame:
+        import hashlib
+
+        import numpy as np
+
+        la, ia = np.unique(pdf["id_a"].to_numpy(), return_inverse=True)
+        lb, ib = np.unique(pdf["id_b"].to_numpy(), return_inverse=True)
+        if la.size + lb.size > max_component:
+            raise ValueError(
+                f"mwgm_exact: component with {la.size + lb.size} nodes exceeds "
+                f"max_component={max_component}; fix the blocking stage"
+            )
+        w = np.zeros((la.size, lb.size))
+        s = pdf["score"].to_numpy(dtype=np.float64)
+        jitter = np.array(
+            [
+                int.from_bytes(
+                    hashlib.md5(f"{a}\t{b}".encode()).digest()[:4], "big"
+                )
+                / 2**32
+                for a, b in zip(pdf["id_a"], pdf["id_b"])
+            ]
+        )
+        w[ia, ib] = s + 1e-9 * jitter
+        rows, cols = _hungarian_max(w)
+        keep = (rows < la.size) & (cols < lb.size)
+        rows, cols = rows[keep], cols[keep]
+        keep = w[rows, cols] > 0
+        rows, cols = rows[keep], cols[keep]
+        lookup = {(int(i), int(j)): float(x) for i, j, x in zip(ia, ib, s)}
+        return pd.DataFrame(
+            {
+                "id_a": la[rows],
+                "id_b": lb[cols],
+                "score": [lookup[(int(i), int(j))] for i, j in zip(rows, cols)],
+            }
+        )
+
+    return pairs.groupBy("cluster_id").applyInPandas(solve, out_schema)

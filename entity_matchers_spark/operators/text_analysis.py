@@ -130,35 +130,46 @@ def repetition_features(
     - ``dup_bigram_frac``: 1 − |distinct bigrams| / |bigrams| — the
       duplicated-n-gram fraction rules.
 
-    Both are pure native expressions / one explode-aggregate; a doc with
-    fewer tokens than the n-gram width scores 0.0 on that signal.
+    Both are pure per-row native expressions — the per-doc max token count
+    is a run-length scan over the SORTED token array (sort_array +
+    aggregate), not an explode/groupBy: a per-document statistic must not
+    cost a full-corpus token shuffle at 10^12 docs. A doc with fewer tokens
+    than the n-gram width scores 0.0 on that signal.
     """
     from entity_matchers_spark.functions.shingles import token_shingles, tokens
 
     t = F.col(text_col)
     toks = tokens(t)
     bigrams = token_shingles(t, n=2, distinct=False)
-    base = df.select(
+    # max multiplicity of any token = longest equal-run in the sorted array
+    sorted_toks = F.sort_array(toks)
+    acc0 = F.struct(
+        F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
+    )
+    max_count = F.aggregate(
+        sorted_toks,
+        acc0,
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)).alias("run"),
+            F.greatest(
+                acc["best"],
+                F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)),
+            ).alias("best"),
+        ),
+        lambda acc: acc["best"],
+    )
+    return df.select(
         F.col(id_col).alias("id"),
         F.size(toks).alias("n_tokens"),
+        F.when(F.size(toks) <= 0, F.lit(0.0))
+        .otherwise(max_count / F.size(toks).cast("double"))
+        .alias("top_token_share"),
         F.when(F.size(bigrams) <= 0, F.lit(0.0))
         .otherwise(
             1.0 - F.size(F.array_distinct(bigrams)) / F.size(bigrams).cast("double")
         )
         .alias("dup_bigram_frac"),
-    )
-    counts = (
-        df.select(F.col(id_col).alias("id"), F.explode(toks).alias("tok"))
-        .groupBy("id", "tok")
-        .agg(F.count("*").alias("c"))
-        .groupBy("id")
-        .agg((F.max("c") / F.sum("c").cast("double")).alias("top_token_share"))
-    )
-    return base.join(counts, "id", "left").select(
-        "id",
-        "n_tokens",
-        F.coalesce(F.col("top_token_share"), F.lit(0.0)).alias("top_token_share"),
-        "dup_bigram_frac",
     )
 
 

@@ -1824,6 +1824,28 @@ SELECT id_a, id_b, score FROM (
 )
 
 
+def q_er_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining pool (basic_model.py:285-298, batch.py:136-167):
+    per entity the top-5 most-similar NON-gold candidates from the blocked
+    pair set; gold = the derived truth set (jac3 >= 0.55)."""
+    scored = _er_spark_scores(spark, sf_dir)
+    gold = scored.where(F.col("jac3") >= 0.55).select("id_a", "id_b")
+    return matching.hard_negatives(scored, gold, k=5, side="a").select(
+        "id", "neg_id", F.round("score", 9).alias("score"), "rank"
+    )
+
+
+Q_ER_HARD_NEGATIVES_SQL = (
+    f"WITH {_er_blocks_sql()}, {_er_pairs_sql()}, {_er_scores_sql()}"
+    """
+SELECT id, neg_id, score, rank FROM (
+  SELECT id_a AS id, id_b AS neg_id, round(score, 9) AS score,
+         row_number() OVER (PARTITION BY id_a ORDER BY score DESC, id_b ASC) AS rank
+  FROM final_scored WHERE jac3 < 0.55) WHERE rank <= 5
+"""
+)
+
+
 def q_er_hits_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ranking diagnostics hits@k / MR / MRR (alignment.py:151-177) vs the
     derived truth set (jac3 >= 0.55)."""
@@ -1874,6 +1896,18 @@ def q_er_stable_marriage(spark: SparkSession, sf_dir: str) -> DataFrame:
     Gale–Shapley plus a no-blocking-pair stability invariant."""
     scored = _er_spark_scores(spark, sf_dir)
     return matching.stable_marriage(scored).select("id_a", "id_b", "score")
+
+
+def q_er_mwgm_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT max-weight bipartite matching (alignment_finder.py:84-140):
+    hash-min CC over candidate edges, then one numpy-Hungarian solve per
+    component via applyInPandas. Optimization objective — no SQL oracle;
+    optimality is pytest-verified against brute force
+    (tests/test_matching_clustering.py)."""
+    scored = _er_spark_scores(spark, sf_dir)
+    return matching.mwgm_exact(scored).select(
+        "id_a", "id_b", F.round("score", 9).alias("score")
+    )
 
 
 def q_er_mwgm_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3016,6 +3050,8 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "neardup_resolve": (q_neardup_resolve, Q_NEARDUP_RESOLVE_SQL),
     "decontaminate": (q_decontaminate, Q_DECONTAMINATE_SQL),
     "er_stable_marriage": (q_er_stable_marriage, None),
+    "er_hard_negatives": (q_er_hard_negatives, Q_ER_HARD_NEGATIVES_SQL),
+    "er_mwgm_exact": (q_er_mwgm_exact, None),
     # -- (4) no driver row in r2 / implementation changed in round 3
     "multimodal_features": (q_multimodal_features, Q_MULTIMODAL_SQL),
     "pagerank": (q_pagerank, Q_PAGERANK_SQL),

@@ -212,3 +212,64 @@ def test_stable_marriage_tie_break(spark):
     scored = _scores(spark, [(1, 10, 0.5), (1, 11, 0.5), (2, 10, 0.5), (2, 11, 0.5)])
     got = {(r.id_a, r.id_b) for r in stable_marriage(scored).collect()}
     assert got == {(1, 10), (2, 11)}
+
+
+def _brute_force_mwgm(edges):
+    """Optimal matching weight by exhaustive search (tiny instances only)."""
+    best = 0.0
+    n = len(edges)
+
+    def rec(i, used_a, used_b, acc):
+        nonlocal best
+        best = max(best, acc)
+        for j in range(i, n):
+            a, b, w = edges[j]
+            if a not in used_a and b not in used_b:
+                rec(j + 1, used_a | {a}, used_b | {b}, acc + w)
+
+    rec(0, frozenset(), frozenset(), 0.0)
+    return best
+
+
+def test_hungarian_max_equals_brute_force():
+    import numpy as np
+
+    from entity_matchers_spark.operators.matching import _hungarian_max
+
+    rng = np.random.RandomState(7)
+    for trial in range(60):
+        na, nb = rng.randint(1, 6), rng.randint(1, 6)
+        w = rng.rand(na, nb) * (rng.rand(na, nb) > 0.3)  # ~30% non-edges
+        rows, cols = _hungarian_max(w)
+        keep = (rows < na) & (cols < nb)
+        got = w[rows[keep], cols[keep]]
+        got = got[got > 0].sum()
+        edges = [
+            (i, j, float(w[i, j]))
+            for i in range(na)
+            for j in range(nb)
+            if w[i, j] > 0
+        ]
+        want = _brute_force_mwgm(edges)
+        assert abs(got - want) < 1e-9, (trial, got, want, w)
+
+
+def test_mwgm_exact_spark(spark):
+    """Exact per-component matching beats/equals greedy and matches brute
+    force on a multi-component candidate graph."""
+    from entity_matchers_spark.operators.matching import mwgm_exact
+
+    # component 1: greedy (mutual-best first) is suboptimal:
+    #   a1-b1=1.0, a1-b2=0.9, a2-b1=0.9 -> greedy locks a1-b1 (1.0);
+    #   exact picks a1-b2 + a2-b1 (1.8)
+    # component 2: a disjoint simple pair
+    rows = [
+        ("a1", "b1", 1.0),
+        ("a1", "b2", 0.9),
+        ("a2", "b1", 0.9),
+        ("a3", "b3", 0.5),
+        ("a4", "b3", 0.4),
+    ]
+    scored = spark.createDataFrame(rows, ["id_a", "id_b", "score"])
+    got = {(r.id_a, r.id_b) for r in mwgm_exact(scored).collect()}
+    assert got == {("a1", "b2"), ("a2", "b1"), ("a3", "b3")}
