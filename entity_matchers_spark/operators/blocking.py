@@ -270,61 +270,75 @@ def weighted_topk_jaccard_cascade(
 
     ``columns``: [(column_name, coefficient)] in priority order.
 
-    Plan: one frequency-capped gram self-join per level runs in parallel
-    (candidates ∝ block sizes, never the n² scan-per-entity of the
-    reference's 20-process pool); the candidate union joins a single
-    per-id length/size table; the cascade is a CASE chain; window top-k.
-    Pairs are emitted in both directions (the reference scores a→b per
-    left entity). Zero-score pairs are dropped — identical positives, the
+    Plan: ALL levels share ONE frequency-capped gram self-join on the
+    composite (level, gram) key — a single shuffle instead of one
+    self-join per level — then one groupBy pivots per-level Jaccards into
+    jac0..jacN columns (max-of-when; each (pair, level) occurs once so
+    this is just a reshape). Candidates ∝ block sizes, never the n²
+    scan-per-entity of the reference's 20-process pool. The cascade is a
+    CASE chain over a single per-id length table; window top-k. Pairs are
+    emitted in both directions (the reference scores a→b per left
+    entity). Zero-score pairs are dropped — identical positives, the
     reference only pads ranks with arbitrary zero-score ids.
     """
+    from functools import reduce
+
     from pyspark.sql import Window
 
     from entity_matchers_spark.functions.shingles import hashed_shingles
 
-    # one per-id meta table: length + distinct-gram count per level
+    # one per-id meta table: length per level
     meta_cols = [F.col(id_col).alias("id")]
     for i, (c, _w) in enumerate(columns):
         meta_cols.append(F.length(F.col(c)).alias(f"len{i}"))
     meta = docs.select(*meta_cols)
 
-    jacs = []
-    for i, (c, _w) in enumerate(columns):
-        grams = docs.select(
-            F.col(id_col).alias("id"),
-            F.explode(hashed_shingles(F.lower(F.col(c)), n=n)).alias("block_id"),
-        )
-        sizes = grams.groupBy("id").agg(F.count("*").alias("sz"))
-        capped = cap_block_sizes(grams, max_block_size)
-        shared = (
-            capped.alias("l")
-            .join(capped.alias("r"), "block_id")
-            .where(F.col("l.id") != F.col("r.id"))
-            .groupBy(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
-            .agg(F.count("*").alias("shared"))
-        )
-        jac = (
-            shared.join(sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a")), "id_a")
-            .join(sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b")), "id_b")
-            .select(
-                "id_a",
-                "id_b",
-                (F.col("shared") / (F.col("sz_a") + F.col("sz_b") - F.col("shared")).cast("double")).alias(f"jac{i}"),
+    nlev = len(columns)
+    grams = reduce(
+        DataFrame.unionAll,
+        [
+            docs.select(
+                F.col(id_col).alias("id"),
+                F.lit(i).alias("lvl"),
+                F.explode(hashed_shingles(F.lower(F.col(c)), n=n)).alias("block_id"),
             )
+            for i, (c, _w) in enumerate(columns)
+        ],
+    )
+    sizes = grams.groupBy("lvl", "id").agg(F.count("*").alias("sz"))
+    # hot-key guard per (level, gram) — the hot set is tiny, broadcast it
+    hot = (
+        grams.groupBy("lvl", "block_id")
+        .agg(F.count("*").alias("_n"))
+        .where(F.col("_n") > max_block_size)
+        .select("lvl", "block_id")
+    )
+    capped = grams.join(F.broadcast(hot), ["lvl", "block_id"], "left_anti")
+    shared = (
+        capped.alias("l")
+        .join(capped.alias("r"), ["lvl", "block_id"])
+        .where(F.col("l.id") != F.col("r.id"))
+        .groupBy("lvl", F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
+        .agg(F.count("*").alias("shared"))
+    )
+    jac = (
+        shared.join(sizes.select("lvl", F.col("id").alias("id_a"), F.col("sz").alias("sz_a")), ["lvl", "id_a"])
+        .join(sizes.select("lvl", F.col("id").alias("id_b"), F.col("sz").alias("sz_b")), ["lvl", "id_b"])
+        .select(
+            "lvl",
+            "id_a",
+            "id_b",
+            (F.col("shared") / (F.col("sz_a") + F.col("sz_b") - F.col("shared")).cast("double")).alias("jac"),
         )
-        jacs.append(jac)
-
-    cands = jacs[0].select("id_a", "id_b")
-    for j in jacs[1:]:
-        cands = cands.unionAll(j.select("id_a", "id_b"))
-    cands = cands.distinct()
+    )
+    piv = jac.groupBy("id_a", "id_b").agg(
+        *[F.max(F.when(F.col("lvl") == i, F.col("jac"))).alias(f"jac{i}") for i in range(nlev)]
+    )
 
     out = (
-        cands.join(meta.select(F.col("id").alias("id_a"), *[F.col(f"len{i}").alias(f"la{i}") for i in range(len(columns))]), "id_a")
-        .join(meta.select(F.col("id").alias("id_b"), *[F.col(f"len{i}").alias(f"lb{i}") for i in range(len(columns))]), "id_b")
+        piv.join(meta.select(F.col("id").alias("id_a"), *[F.col(f"len{i}").alias(f"la{i}") for i in range(nlev)]), "id_a")
+        .join(meta.select(F.col("id").alias("id_b"), *[F.col(f"len{i}").alias(f"lb{i}") for i in range(nlev)]), "id_b")
     )
-    for j in jacs:
-        out = out.join(j, ["id_a", "id_b"], "left")
 
     score = F.lit(0.0)
     level = F.lit(-1)

@@ -374,6 +374,7 @@ def mwgm_exact(
     scored: DataFrame,
     score_col: str = "score",
     max_component: int = 4096,
+    oversize: str = "greedy",
 ) -> DataFrame:
     """EXACT max-weight bipartite matching over the blocked candidate set.
 
@@ -390,11 +391,18 @@ def mwgm_exact(
     Determinism among equal-weight optima: weights are perturbed by
     ``1e-9 * U(id_a, id_b)`` with U a deterministic md5-derived uniform,
     so tie-breaks are stable at any parallelism (the reference inherits
-    graph-tool's internal order instead). Components larger than
-    ``max_component`` nodes raise — at that size the blocking stage, not
-    the matcher, is misconfigured.
+    graph-tool's internal order instead).
 
-    Returns (id_a, id_b, score) of the optimal matching.
+    Components larger than ``max_component`` nodes fall back to a
+    vectorized iterated-mutual-best greedy matching WITHIN the component
+    (``oversize="greedy"``, the default — a 1/2-approximation, the same
+    guarantee as ``greedy_weighted_matching``): a petabyte job must
+    degrade locally on one pathological block, never abort after hours.
+    ``oversize="raise"`` restores the strict behavior for pipelines that
+    want a misconfigured blocking stage to fail fast.
+
+    Returns (id_a, id_b, score) of the optimal (or, for oversized
+    components only, 1/2-approximate) matching.
     """
     import pandas as pd
 
@@ -420,12 +428,6 @@ def mwgm_exact(
 
         la, ia = np.unique(pdf["id_a"].to_numpy(), return_inverse=True)
         lb, ib = np.unique(pdf["id_b"].to_numpy(), return_inverse=True)
-        if la.size + lb.size > max_component:
-            raise ValueError(
-                f"mwgm_exact: component with {la.size + lb.size} nodes exceeds "
-                f"max_component={max_component}; fix the blocking stage"
-            )
-        w = np.zeros((la.size, lb.size))
         s = pdf["score"].to_numpy(dtype=np.float64)
         jitter = np.array(
             [
@@ -436,7 +438,52 @@ def mwgm_exact(
                 for a, b in zip(pdf["id_a"], pdf["id_b"])
             ]
         )
-        w[ia, ib] = s + 1e-9 * jitter
+        wj = s + 1e-9 * jitter
+        if la.size + lb.size > max_component:
+            if oversize == "raise":
+                raise ValueError(
+                    f"mwgm_exact: component with {la.size + lb.size} nodes exceeds "
+                    f"max_component={max_component}; fix the blocking stage"
+                )
+            # Greedy 1/2-approx, fully vectorized: each round keeps the
+            # mutual-best edges among the still-alive ones (the max alive
+            # edge is always mutual-best, so >=1 edge matches per round;
+            # jitter removes ties, so rounds are deterministic) and kills
+            # every edge touching a matched node. Sparse — no dense matrix.
+            alive = np.ones(wj.size, dtype=bool)
+            out_a: list[np.ndarray] = []
+            out_b: list[np.ndarray] = []
+            while alive.any():
+                idx = np.flatnonzero(alive)
+                o = idx[np.lexsort((-wj[idx], ia[idx]))]
+                fa = np.ones(o.size, dtype=bool)
+                fa[1:] = ia[o][1:] != ia[o][:-1]
+                best_a = o[fa]
+                o = idx[np.lexsort((-wj[idx], ib[idx]))]
+                fb = np.ones(o.size, dtype=bool)
+                fb[1:] = ib[o][1:] != ib[o][:-1]
+                best_b = o[fb]
+                mutual = np.intersect1d(best_a, best_b)
+                ma, mb = ia[mutual], ib[mutual]
+                out_a.append(ma)
+                out_b.append(mb)
+                hit_a = np.zeros(la.size, dtype=bool)
+                hit_a[ma] = True
+                hit_b = np.zeros(lb.size, dtype=bool)
+                hit_b[mb] = True
+                alive &= ~(hit_a[ia] | hit_b[ib])
+            rows = np.concatenate(out_a) if out_a else np.empty(0, dtype=np.int64)
+            cols = np.concatenate(out_b) if out_b else np.empty(0, dtype=np.int64)
+            lookup = {(int(i), int(j)): float(x) for i, j, x in zip(ia, ib, s)}
+            return pd.DataFrame(
+                {
+                    "id_a": la[rows],
+                    "id_b": lb[cols],
+                    "score": [lookup[(int(i), int(j))] for i, j in zip(rows, cols)],
+                }
+            )
+        w = np.zeros((la.size, lb.size))
+        w[ia, ib] = wj
         rows, cols = _hungarian_max(w)
         keep = (rows < la.size) & (cols < lb.size)
         rows, cols = rows[keep], cols[keep]

@@ -1901,11 +1901,15 @@ def q_er_stable_marriage(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_er_mwgm_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT max-weight bipartite matching (alignment_finder.py:84-140):
     hash-min CC over candidate edges, then one numpy-Hungarian solve per
-    component via applyInPandas. Optimization objective — no SQL oracle;
-    optimality is pytest-verified against brute force
+    component via applyInPandas. The input is threshold+top-k filtered
+    first — exactly the reference's ``find_alignment`` flow
+    (alignment_finder.py:28-77 thresholds and keeps k nearest BEFORE
+    mwgm), which also keeps components small. Optimization objective — no
+    SQL oracle; optimality is pytest-verified against brute force
     (tests/test_matching_clustering.py)."""
     scored = _er_spark_scores(spark, sf_dir)
-    return matching.mwgm_exact(scored).select(
+    pruned = matching.topk_per_id(matching.threshold_match(scored, 0.5), 5, "a")
+    return matching.mwgm_exact(pruned).select(
         "id_a", "id_b", F.round("score", 9).alias("score")
     )
 

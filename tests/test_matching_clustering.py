@@ -273,3 +273,42 @@ def test_mwgm_exact_spark(spark):
     scored = spark.createDataFrame(rows, ["id_a", "id_b", "score"])
     got = {(r.id_a, r.id_b) for r in mwgm_exact(scored).collect()}
     assert got == {("a1", "b2"), ("a2", "b1"), ("a3", "b3")}
+
+
+def test_mwgm_exact_oversize_greedy_fallback(spark):
+    """Components above max_component degrade to the in-component greedy
+    1/2-approx (valid matching, deterministic) instead of aborting the
+    job; oversize="raise" restores the strict behavior."""
+    import pytest
+
+    from entity_matchers_spark.operators.matching import mwgm_exact
+
+    # one 6-node component (> max_component=4) + a small exact one
+    rows = [
+        ("a1", "b1", 1.0),
+        ("a1", "b2", 0.9),
+        ("a2", "b1", 0.9),
+        ("a2", "b3", 0.8),
+        ("a3", "b3", 0.7),
+        ("a4", "b4", 0.5),
+    ]
+    scored = spark.createDataFrame(rows, ["id_a", "id_b", "score"])
+    got = sorted(
+        (r.id_a, r.id_b, r.score)
+        for r in mwgm_exact(scored, max_component=4).collect()
+    )
+    # greedy on the big component: a1-b1 (1.0) first, then a2-b3 (0.8);
+    # a3 left unmatched. Small component solved exactly.
+    assert got == [("a1", "b1", 1.0), ("a2", "b3", 0.8), ("a4", "b4", 0.5)]
+    # matching validity: no node repeated
+    ids_a = [a for a, _, _ in got]
+    ids_b = [b for _, b, _ in got]
+    assert len(ids_a) == len(set(ids_a)) and len(ids_b) == len(set(ids_b))
+    # determinism
+    again = sorted(
+        (r.id_a, r.id_b, r.score)
+        for r in mwgm_exact(scored, max_component=4).collect()
+    )
+    assert again == got
+    with pytest.raises(Exception):
+        mwgm_exact(scored, max_component=4, oversize="raise").collect()
