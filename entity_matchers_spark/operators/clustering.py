@@ -59,30 +59,36 @@ def connected_components(
             .agg(F.min("cluster_id").alias("nmin"))
             .withColumnRenamed("u", "id")
         )
-        new_labels = (
-            labels.join(neighbor_min, "id", "left")
-            .select(
-                "id",
-                F.least(F.col("cluster_id"), F.coalesce(F.col("nmin"), F.col("cluster_id"))).alias(
-                    "new_cluster_id"
-                ),
-                "cluster_id",
-            )
+        new_labels = labels.join(neighbor_min, "id", "left").select(
+            "id",
+            F.least(
+                F.col("cluster_id"), F.coalesce(F.col("nmin"), F.col("cluster_id"))
+            ).alias("cluster_id"),
         )
-        changed = new_labels.where(F.col("new_cluster_id") != F.col("cluster_id")).count()
-        labels = new_labels.select("id", F.col("new_cluster_id").alias("cluster_id"))
         # pointer jumping: label := label(label). Labels only ever shrink
         # (label(x) <= x), so one extra self-join per round squares the
         # propagation distance — O(log diameter) total rounds.
-        hop = labels.select(
+        hop = new_labels.select(
             F.col("id").alias("cluster_id"), F.col("cluster_id").alias("_l2")
         )
-        labels = labels.join(hop, "cluster_id", "left").select(
+        jumped = new_labels.join(hop, "cluster_id", "left").select(
             "id",
-            F.least(F.col("cluster_id"), F.coalesce(F.col("_l2"), F.col("cluster_id"))).alias("cluster_id"),
+            F.least(
+                F.col("cluster_id"), F.coalesce(F.col("_l2"), F.col("cluster_id"))
+            ).alias("cluster_id"),
         )
         if checkpoint:
-            labels = labels.localCheckpoint()
+            # materialize FIRST, then test convergence on the two
+            # materialized label tables: the old shape counted changes on
+            # the un-checkpointed plan and then re-executed the round's
+            # joins for the checkpoint — two executions per round
+            jumped = jumped.localCheckpoint()
+        changed = (
+            jumped.join(labels.withColumnRenamed("cluster_id", "_old"), "id")
+            .where(F.col("cluster_id") != F.col("_old"))
+            .count()
+        )
+        labels = jumped
         if changed == 0:
             break
     return labels

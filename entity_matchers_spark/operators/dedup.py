@@ -29,7 +29,7 @@ from pyspark.sql import functions as F
 from entity_matchers_spark.functions.hashing import MINHASH_PRIME
 from entity_matchers_spark.functions.shingles import char_shingles, tokens
 from entity_matchers_spark.functions.similarity import jaccard_hashed_udf
-from entity_matchers_spark.operators.blocking import cap_block_sizes, minhash_signatures
+from entity_matchers_spark.operators.blocking import cap_block_sizes
 
 SIMHASH_BITS = 60
 SIMHASH_CHUNKS = 4  # pigeonhole: hamming <= 3 pairs share >= 1 of 4 chunks
@@ -134,8 +134,11 @@ def prefix_filtered_jaccard_pairs(
         F.col(id_col).alias("id"),
         hashed_shingles(F.lower(F.col(text_col)), n=n).alias("grams"),
     ).withColumn("sz", F.size("grams"))
+    # one md5 pass: prefix index, df table, and the verify stage all read
+    # the materialized gram table instead of re-hashing the corpus per action
+    grams_arr = grams_arr.localCheckpoint()
     e = grams_arr.select("id", "sz", F.explode("grams").alias("g"))
-    dfreq = e.groupBy("g").agg(F.count("*").alias("df"))
+    dfreq = e.groupBy("g").agg(F.count("*").alias("df")).localCheckpoint()
     w = Window.partitionBy("id").orderBy(F.col("df").asc(), F.col("g").asc())
     # ceil(t*sz) computed with an epsilon guard: in pure floating point,
     # exactly-integral products round UP (0.8*5 = 4.0000000000000004 →
@@ -237,6 +240,9 @@ def _exact_jaccard_verify(
         bitmaps = gids.select(
             "id", _pack_bitmap_udf(width_bytes)(F.col("gids")).alias("bm")
         ).join(grams_arr.select("id", "sz"), "id")
+        # both join sides (ba, bb) read this table: materialize the pack-UDF
+        # pass once instead of once per side
+        bitmaps = bitmaps.localCheckpoint()
         ba = bitmaps.select(F.col("id").alias("id_a"), F.col("bm").alias("bm_a"), F.col("sz").alias("sz_a"))
         bb = bitmaps.select(F.col("id").alias("id_b"), F.col("bm").alias("bm_b"), F.col("sz").alias("sz_b"))
         jac = _bitmap_jaccard_udf()
@@ -274,10 +280,36 @@ def minhash_neardup_pairs(
     The verify step makes output independent of LSH parameters *given*
     sufficient recall (banding only generates candidates; Jaccard decides).
     With 16×2 bands, P(candidate | J=0.7) ≈ 1 - (1-0.49)^16 ≈ 1 - 2e-5.
+
+    The md5 gram hash is computed in ONE pass: the hashed-gram table is
+    localCheckpoint-ed and BOTH the signatures (explode → 32 declarative
+    mins over ``h % p``) and the exact verify derive from it. The previous
+    shape rebuilt the gram DAG from raw text per downstream action — five
+    full md5 passes (signatures, df count, stats, bitmap build, final
+    join) measured 65 s vs ~15 s for the whole query at sf0.1. Docs with
+    no shingles never enter the block table (a doc absent from the gram
+    explode simply has no signature row), which also retires the sentinel
+    substring filter.
     """
-    sig = minhash_signatures(
-        df, id_col, text_col, num_bands * rows_per_band, shingle_n, text_cap, seed
+    from entity_matchers_spark.functions.hashing import minhash_permutation_params
+    from entity_matchers_spark.functions.shingles import hashed_shingles
+
+    num_perm = num_bands * rows_per_band
+    grams_arr = df.select(
+        F.col(id_col).alias("id"),
+        hashed_shingles(F.lower(F.substring(F.col(text_col), 1, text_cap)), n=shingle_n).alias("grams"),
+    ).withColumn("sz", F.size("grams"))
+    # ONE md5 pass over the corpus; every downstream stage reads these bytes
+    grams_arr = grams_arr.localCheckpoint()
+    base = grams_arr.select("id", F.explode("grams").alias("hg")).select(
+        "id", (F.col("hg") % MINHASH_PRIME).alias("h")
     )
+    params = minhash_permutation_params(num_perm, seed)
+    aggs = [
+        F.min((F.lit(a) * F.col("h") + F.lit(b)) % MINHASH_PRIME).alias(f"s{i}")
+        for i, (a, b) in enumerate(params)
+    ]
+    sig = base.groupBy("id").agg(*aggs)
     keys = []
     for band in range(num_bands):
         parts = [F.lit(f"b{band}:")] + [
@@ -286,8 +318,6 @@ def minhash_neardup_pairs(
         ]
         keys.append(F.concat(*parts))
     blocks = sig.select("id", F.explode(F.array(*keys)).alias("block_id"))
-    # drop all-sentinel docs (no shingles): they'd bucket together spuriously
-    blocks = blocks.where(~F.col("block_id").contains(str(MINHASH_PRIME)))
     cands = (
         blocks.alias("l")
         .join(blocks.alias("r"), "block_id")
@@ -295,12 +325,6 @@ def minhash_neardup_pairs(
         .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
         .distinct()
     )
-    from entity_matchers_spark.functions.shingles import hashed_shingles
-
-    grams_arr = df.select(
-        F.col(id_col).alias("id"),
-        hashed_shingles(F.lower(F.substring(F.col(text_col), 1, text_cap)), n=shingle_n).alias("grams"),
-    ).withColumn("sz", F.size("grams"))
     return _exact_jaccard_verify(cands, grams_arr, threshold)
 
 
