@@ -269,9 +269,9 @@ def minhash_neardup_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     threshold: float = 0.7,
-    num_bands: int = 16,
-    rows_per_band: int = 2,
-    shingle_n: int = 3,
+    num_bands: int = 30,
+    rows_per_band: int = 3,
+    shingle_n: int = 7,
     text_cap: int = 10_000,
     seed: int = 11037,
 ) -> DataFrame:
@@ -279,7 +279,19 @@ def minhash_neardup_pairs(
 
     The verify step makes output independent of LSH parameters *given*
     sufficient recall (banding only generates candidates; Jaccard decides).
-    With 16×2 bands, P(candidate | J=0.7) ≈ 1 - (1-0.49)^16 ≈ 1 - 2e-5.
+    With 30×3 bands, P(candidate | J=0.7) ≈ 1 - (1-0.343)^30 ≈ 1 - 3.4e-6.
+
+    Shingle width is the SELECTIVITY knob, and it must be wide enough that
+    unrelated documents don't look alike: on web-style prose, char-3-gram
+    Jaccard between *random* doc pairs is ~0.4-0.65 (every doc draws from
+    the same trigram vocabulary), so at t=0.7 NO banding scheme can prune —
+    measured at sf0.1, a 3-gram 16×2 configuration emitted 11.3M candidates
+    out of 12.5M possible pairs: an all-pairs join in disguise. At n=7 the
+    background drops to ~0.06 (p99 0.13) while true near-dups stay ≥0.9, so
+    the same corpus yields ~1-2% candidate rate and the LSH join grows
+    linearly in n_docs. Same reasoning as Broder's ~10-char shingles; the
+    reference's 3-grams are an ES *blocking* choice (recall-oriented, top-k
+    capped per doc, /root/reference/README.md:378), not a near-dup metric.
 
     The md5 gram hash is computed in ONE pass: the hashed-gram table is
     localCheckpoint-ed and BOTH the signatures (explode → 32 declarative
@@ -493,6 +505,9 @@ def neardup_resolve(
     id_col: str = "doc_id",
     text_col: str = "text",
     threshold: float = 0.7,
+    shingle_n: int = 7,
+    num_bands: int = 30,
+    rows_per_band: int = 3,
 ) -> DataFrame:
     """End-to-end near-dup resolution: MinHash-LSH pairs → connected
     components → one canonical keeper per duplicate cluster.
@@ -515,7 +530,15 @@ def neardup_resolve(
     """
     from entity_matchers_spark.operators.clustering import clusters_with_singletons
 
-    pairs = minhash_neardup_pairs(df, id_col=id_col, text_col=text_col, threshold=threshold)
+    pairs = minhash_neardup_pairs(
+        df,
+        id_col=id_col,
+        text_col=text_col,
+        threshold=threshold,
+        shingle_n=shingle_n,
+        num_bands=num_bands,
+        rows_per_band=rows_per_band,
+    )
     cc = clusters_with_singletons(df, pairs.select("id_a", "id_b"), id_col=id_col)
     return cc.select(
         "id",

@@ -735,9 +735,14 @@ WHERE len(list_intersect(a.grams, b.grams))
 
 
 def q_neardup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash-LSH near-dup: banded candidates + exact Jaccard ≥ 0.7 verify.
-    Oracle = ALL pairs with J ≥ 0.7 — passing requires the LSH candidate set
-    to reach full recall at this threshold (16 bands × 2 rows: miss ≈ 2e-5)."""
+    """MinHash-LSH near-dup: banded candidates + exact Jaccard ≥ 0.7 verify
+    over 7-char shingles. Oracle = ALL pairs with J ≥ 0.7 — passing requires
+    the LSH candidate set to reach full recall at this threshold (30 bands ×
+    3 rows: miss ≈ 3.4e-6 at exactly 0.7, ~1e-11 at the observed true-pair
+    J ≥ 0.9). Shingle width 7, not 3: on web-style prose, random doc pairs
+    share ~0.4-0.65 of their trigrams, so a 3-gram LSH degenerates to an
+    all-pairs join (measured: 11.3M candidates / 12.5M pairs at sf0.1);
+    7-grams drop the background to ~0.06 and the join to ~linear."""
     from entity_matchers_spark.operators.dedup import minhash_neardup_pairs
 
     return minhash_neardup_pairs(_docs(spark, sf_dir), threshold=0.7)
@@ -746,8 +751,8 @@ def q_neardup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 Q_NEARDUP_MINHASH_SQL = """
 WITH g AS (
   SELECT doc_id AS id,
-         list_distinct([('0x'||substr(md5(substr(t, i, 3)),1,8))::UBIGINT::BIGINT
-                        for i in range(1, len(t)-1)]) AS grams
+         list_distinct([('0x'||substr(md5(substr(t, i, 7)),1,8))::UBIGINT::BIGINT
+                        for i in range(1, len(t)-5)]) AS grams
   FROM (SELECT doc_id, lower(text) AS t FROM documents)
 )
 SELECT a.id AS id_a, b.id AS id_b,
@@ -774,8 +779,8 @@ def q_neardup_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
 Q_NEARDUP_RESOLVE_SQL = """
 WITH RECURSIVE g AS MATERIALIZED (
   SELECT doc_id AS id,
-         list_distinct([('0x'||substr(md5(substr(t, i, 3)),1,8))::UBIGINT::BIGINT
-                        for i in range(1, len(t)-1)]) AS grams
+         list_distinct([('0x'||substr(md5(substr(t, i, 7)),1,8))::UBIGINT::BIGINT
+                        for i in range(1, len(t)-5)]) AS grams
   FROM (SELECT doc_id, lower(text) AS t FROM documents)
 ),
 edges AS MATERIALIZED (
