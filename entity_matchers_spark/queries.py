@@ -708,21 +708,25 @@ GRAM_JOIN_CAP = 256
 
 
 def q_neardup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """EXACT char-3-gram Jaccard near-dup pairs (J ≥ 0.5) via positional
+    """EXACT char-5-gram Jaccard near-dup pairs (J ≥ 0.7) via positional
     prefix filtering (AllPairs/PPJoin bound): only each doc's rarest
     ``(1-t)|d|+1`` grams are indexed, so stop-gram buckets never form,
     yet the oracle below is the full all-pairs Jaccard — the gate proves
-    zero recall loss."""
+    zero recall loss. 5-gram/0.7, not 3-gram/0.5: on this web-style corpus
+    random pairs have 3-gram J median 0.44 (38% of ALL pairs clear 0.5), so
+    the old parameters made the RESULT itself quadratic; at 5 grams the
+    background tops out at ~0.28 while true dups sit ≥ 0.5 — the answer is
+    the linear set of real near-dups and the prefix bound has room to cut."""
     from entity_matchers_spark.operators.dedup import prefix_filtered_jaccard_pairs
 
-    return prefix_filtered_jaccard_pairs(_docs(spark, sf_dir), threshold=0.5)
+    return prefix_filtered_jaccard_pairs(_docs(spark, sf_dir), n=5, threshold=0.7)
 
 
 Q_NEARDUP_JACCARD_SQL = """
 WITH g AS MATERIALIZED (
   SELECT doc_id AS id,
-         list_distinct([('0x'||substr(md5(substr(t, i, 3)),1,8))::UBIGINT::BIGINT
-                        for i in range(1, len(t)-1)]) AS grams
+         list_distinct([('0x'||substr(md5(substr(t, i, 5)),1,8))::UBIGINT::BIGINT
+                        for i in range(1, len(t)-3)]) AS grams
   FROM (SELECT doc_id, lower(text) AS t FROM documents)
 )
 SELECT a.id AS id_a, b.id AS id_b,
@@ -730,7 +734,7 @@ SELECT a.id AS id_a, b.id AS id_b,
          / (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams)))::DOUBLE AS jaccard
 FROM g a JOIN g b ON a.id < b.id
 WHERE len(list_intersect(a.grams, b.grams))
-        / (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams)))::DOUBLE >= 0.5
+        / (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams)))::DOUBLE >= 0.7
 """
 
 
