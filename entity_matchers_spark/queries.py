@@ -2150,7 +2150,10 @@ def q_imuse_interactive(spark: SparkSession, sf_dir: str) -> DataFrame:
     attribute-NAME seed threshold (0.6); type↔kind (ratio 0) can ONLY be
     discovered by the round-1 attr-by-entities step via shared values —
     so round 2's entity scores genuinely use a loop-learned attribute
-    alignment. Candidates blocked on p_brand."""
+    alignment. Candidates blocked on (p_brand, p_size): brand-only blocks
+    are 25 buckets over the whole table (16M pairs at sf0.1 — the fixture
+    cost dwarfed the operator under test); brand×size gives ~1250 bounded
+    blocks, the blocked-pair regime IMUSE assumes."""
     from entity_matchers_spark.operators.imuse import imuse_interactive
 
     part = _read(spark, sf_dir, "part")
@@ -2163,9 +2166,13 @@ def q_imuse_interactive(spark: SparkSession, sf_dir: str) -> DataFrame:
         part.select(F.concat(F.lit("R"), k).alias("ent"), F.lit("names").alias("attr"), F.col("p_name").alias("value"))
         .unionAll(part.select(F.concat(F.lit("R"), k), F.lit("kind"), F.col("p_type")))
     )
-    a = part.select(F.concat(F.lit("L"), k).alias("e1"), F.col("p_brand").alias("brand"))
-    b = part.select(F.concat(F.lit("R"), k).alias("e2"), F.col("p_brand").alias("brand"))
-    cands = a.join(F.broadcast(b), "brand").select("e1", "e2")
+    a = part.select(
+        F.concat(F.lit("L"), k).alias("e1"), F.col("p_brand").alias("brand"), F.col("p_size").alias("size")
+    )
+    b = part.select(
+        F.concat(F.lit("R"), k).alias("e2"), F.col("p_brand").alias("brand"), F.col("p_size").alias("size")
+    )
+    cands = a.join(F.broadcast(b), ["brand", "size"]).select("e1", "e2")
     sc = spark.sparkContext
     cands = cands.repartition(3 * sc.defaultParallelism, "e1", "e2")
     out = imuse_interactive(
@@ -2212,7 +2219,7 @@ def _imuse_interactive_sql() -> str:
     vs2 = _LEV_RATIO_SQL.format(a="x.value", b="y.value")
     nseed = _LEV_RATIO_SQL.format(a="n1.attr", b="n2.attr")
     parts = [f"""
-  p AS MATERIALIZED (SELECT p_partkey::VARCHAR AS k, p_name, p_type, p_brand FROM part),
+  p AS MATERIALIZED (SELECT p_partkey::VARCHAR AS k, p_name, p_type, p_brand, p_size FROM part),
   av1 AS MATERIALIZED (
     SELECT 'L' || k AS ent, 'name' AS attr, p_name AS value FROM p
     UNION ALL SELECT 'L' || k, 'type', p_type FROM p
@@ -2224,7 +2231,8 @@ def _imuse_interactive_sql() -> str:
   ev1 AS MATERIALIZED (SELECT ent, attr, min(value) AS value FROM av1 GROUP BY ent, attr),
   ev2 AS MATERIALIZED (SELECT ent, attr, min(value) AS value FROM av2 GROUP BY ent, attr),
   cand AS MATERIALIZED (
-    SELECT 'L' || a.k AS e1, 'R' || b.k AS e2 FROM p a JOIN p b ON a.p_brand = b.p_brand
+    SELECT 'L' || a.k AS e1, 'R' || b.k AS e2
+    FROM p a JOIN p b ON a.p_brand = b.p_brand AND a.p_size = b.p_size
   ),
   aseed_scored AS MATERIALIZED (
     SELECT n1.attr AS a1, n2.attr AS a2, {nseed} AS score
