@@ -1,0 +1,90 @@
+"""Training-mix sampling: stratified subsampling and epoch upsampling.
+
+A 100-TB pretraining pipeline rarely trains on the crawl as-is: each
+(language, source, quality-bucket) stratum gets its own keep-rate
+(downsample the boilerplate-heavy sources) and its own epoch count
+(repeat the high-quality slice 2.3x). Both operators below are pure
+map-side row expressions — no shuffle, no state, no driver participation —
+so they scale with the scan and compose with any upstream filter.
+
+The sampling decision is a deterministic hash-uniform, not ``rand()``:
+``u(id) = int(md5(salt || id)[:8]) / 2^32``. That makes runs reproducible
+across retries/partitions (a hard requirement for resumable pipelines — the
+same doc makes the same decision after a task retry), lets the DuckDB
+oracle replay the exact decision, and matches how the reference seeds all
+randomness for determinism (SEED_NUM=11037,
+/root/reference/bert-int/basic_bert_unit/Param.py:10; seeded fold
+sampling, /root/reference/src/preprocess_datasets/create_k_folds.py:6-31).
+
+Fractional epochs use the same trick: ``epochs=2.3`` yields 2 copies
+always plus a 3rd copy for the 30% of ids whose (differently-salted) hash
+falls under 0.3 — in expectation exactly 2.3 epochs, deterministic per id.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_U32 = 4294967296.0  # 2^32
+
+
+def hash_uniform(col: Column | str, salt: str) -> Column:
+    """Deterministic U[0,1) from md5(salt || value) — first 8 hex digits as
+    a 32-bit integer over 2^32. Engine-reproducible: DuckDB spells it
+    ``('0x'||substr(md5(salt||v),1,8))::UBIGINT / 4294967296.0``."""
+    c = F.col(col) if isinstance(col, str) else col
+    h = F.conv(F.substring(F.md5(F.concat(F.lit(salt), c.cast("string"))), 1, 8), 16, 10)
+    return h.cast("double") / F.lit(_U32)
+
+
+def _rate_expr(rates: dict[str, float], stratum: Column, default: float) -> Column:
+    expr: Column | None = None
+    for key, rate in sorted(rates.items()):
+        cond = stratum == F.lit(key)
+        expr = F.when(cond, F.lit(float(rate))) if expr is None else expr.when(cond, F.lit(float(rate)))
+    return F.lit(float(default)) if expr is None else expr.otherwise(F.lit(float(default)))
+
+
+def stratified_sample(
+    df: DataFrame,
+    rates: dict[str, float],
+    stratum_col: str = "lang",
+    id_col: str = "doc_id",
+    default_rate: float = 0.0,
+    salt: str = "strat:",
+) -> DataFrame:
+    """Keep each row iff its deterministic uniform falls under its
+    stratum's keep-rate. Pure filter: predicate-pushdown friendly, no
+    shuffle, exact same decision on task retry."""
+    rate = _rate_expr(rates, F.col(stratum_col), default_rate)
+    return df.where(hash_uniform(F.col(id_col), salt) < rate)
+
+
+def epoch_upsample(
+    df: DataFrame,
+    epochs: dict[str, float],
+    stratum_col: str = "lang",
+    id_col: str = "doc_id",
+    default_epochs: float = 1.0,
+    salt: str = "epoch:",
+    copy_col: str = "copy",
+) -> DataFrame:
+    """Repeat each row ``floor(e)`` times plus one more for the ``frac(e)``
+    share of ids (deterministic hash-uniform), emitting a 0-based
+    ``copy_col`` index. ``epochs=0.5`` is a downsample, ``2.3`` an
+    upsample; expectation is exactly ``e`` copies per row.
+
+    Map-side ``explode(sequence(...))`` — the row multiplies inside its own
+    partition, no shuffle. Downstream shuffles see the post-epoch volume,
+    which is the honest cost of training-mix repetition.
+    """
+    e = _rate_expr(epochs, F.col(stratum_col), default_epochs)
+    base = F.floor(e).cast("int")
+    extra = (hash_uniform(F.col(id_col), salt) < (e - F.floor(e))).cast("int")
+    n = (base + extra).alias("_n_copies")
+    out = df.withColumn("_n_copies", n).where(F.col("_n_copies") > 0)
+    return (
+        out.withColumn(copy_col, F.explode(F.sequence(F.lit(0), F.col("_n_copies") - 1)))
+        .drop("_n_copies")
+    )

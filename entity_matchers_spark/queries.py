@@ -810,6 +810,62 @@ FROM documents d LEFT JOIN cc ON d.doc_id = cc.id
 """
 
 
+# Training-mix sampling fixtures: per-language keep-rates / epoch counts.
+SAMPLE_RATES = {"en": 0.5, "de": 1.0, "es": 0.25, "fr": 0.1, "zh": 0.0}
+EPOCHS = {"en": 0.5, "de": 2.3, "es": 3.0, "fr": 1.0, "zh": 0.25}
+
+_HASH_U_SQL = "(('0x'||substr(md5('{salt}'||CAST({col} AS VARCHAR)),1,8))::UBIGINT / 4294967296.0)"
+
+
+def _rate_case_sql(rates: dict[str, float], col: str, default: float) -> str:
+    whens = " ".join(f"WHEN '{k}' THEN {float(v)!r}" for k, v in sorted(rates.items()))
+    return f"(CASE {col} {whens} ELSE {float(default)!r} END)"
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mix stratified subsample: per-language keep-rates applied
+    via a deterministic md5-uniform per doc id — a pure map-side filter
+    (no shuffle, retry-stable, oracle-replayable). The fixture rates
+    exercise keep-all (de), partial (en/es/fr), and drop-all (zh)."""
+    from entity_matchers_spark.operators.sampling import stratified_sample
+
+    return stratified_sample(_docs(spark, sf_dir), SAMPLE_RATES).select(
+        "doc_id", "lang", "source"
+    )
+
+
+Q_STRATIFIED_SAMPLE_SQL = f"""
+SELECT doc_id, lang, source FROM documents
+WHERE {_HASH_U_SQL.format(salt="strat:", col="doc_id")}
+      < {_rate_case_sql(SAMPLE_RATES, "lang", 0.0)}
+"""
+
+
+def q_epoch_upsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mix epoch repetition: each doc appears floor(e) times plus
+    one more for the frac(e) share of ids (deterministic hash-uniform),
+    with a 0-based copy index — fractional epochs like de=2.3 yield exactly
+    2.3 copies in expectation. Map-side explode, no shuffle."""
+    from entity_matchers_spark.operators.sampling import epoch_upsample
+
+    return epoch_upsample(_docs(spark, sf_dir), EPOCHS).select(
+        "doc_id", "lang", "copy"
+    )
+
+
+Q_EPOCH_UPSAMPLE_SQL = f"""
+WITH n AS (
+  SELECT doc_id, lang,
+         CAST(floor(e) AS INT)
+         + CASE WHEN {_HASH_U_SQL.format(salt="epoch:", col="doc_id")} < e - floor(e)
+                THEN 1 ELSE 0 END AS n_copies
+  FROM (SELECT doc_id, lang, {_rate_case_sql(EPOCHS, "lang", 1.0)} AS e FROM documents)
+)
+SELECT doc_id, lang, CAST(unnest(range(n_copies)) AS INT) AS copy
+FROM n WHERE n_copies > 0
+"""
+
+
 # Decontamination: benchmark = every 97th doc id (deterministic stand-in for
 # a held-out eval suite); corpus = the rest; overlap key = token 5-grams.
 DECON_BENCH_MOD = 97
@@ -3073,6 +3129,9 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "er_stable_marriage": (q_er_stable_marriage, None),
     "er_hard_negatives": (q_er_hard_negatives, Q_ER_HARD_NEGATIVES_SQL),
     "er_mwgm_exact": (q_er_mwgm_exact, None),
+    "stratified_sample": (q_stratified_sample, Q_STRATIFIED_SAMPLE_SQL),
+    "epoch_upsample": (q_epoch_upsample, Q_EPOCH_UPSAMPLE_SQL),
+    "imuse_interactive": (q_imuse_interactive, Q_IMUSE_INTERACTIVE_SQL),
     # -- (4) no driver row in r2 / implementation changed in round 3
     "multimodal_features": (q_multimodal_features, Q_MULTIMODAL_SQL),
     "pagerank": (q_pagerank, Q_PAGERANK_SQL),
@@ -3108,7 +3167,6 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "token_counts": (q_token_counts, Q_TOKEN_COUNTS_SQL),
     "links_fixpoint": (q_links_fixpoint, Q_LINKS_FIXPOINT_SQL),
     "imuse_attr_overlap": (q_imuse_attr_overlap, Q_IMUSE_SQL),
-    "imuse_interactive": (q_imuse_interactive, Q_IMUSE_INTERACTIVE_SQL),
     "stream_windowed_counts": (q_stream_windowed_counts, Q_STREAM_WINDOWED_SQL),
     "sessionize": (q_sessionize, Q_SESSIONIZE_SQL),
     "er_bootstrap": (q_er_bootstrap, Q_ER_BOOTSTRAP_SQL),

@@ -406,3 +406,44 @@ def test_contamination_flags(spark):
     assert out[2].n_hits == 1 and out[2].contaminated == 1
     assert out[3].n_hits == 0 and out[3].contaminated == 0
     assert out[4].n_hits == 0 and out[4].contaminated == 0
+
+
+def test_stratified_sample_deterministic_and_stratum_exact(spark):
+    """Rate 1.0 keeps every row, rate 0.0 drops every row, partial rates
+    keep a deterministic subset (same result on re-run), and the kept
+    fraction lands near the rate."""
+    from entity_matchers_spark.operators.sampling import stratified_sample
+
+    rows = [(i, "en" if i % 2 == 0 else ("de" if i % 4 == 1 else "zh")) for i in range(2000)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    out1 = stratified_sample(df, {"en": 0.5, "de": 1.0, "zh": 0.0})
+    got1 = sorted(r.doc_id for r in out1.collect())
+    got2 = sorted(r.doc_id for r in stratified_sample(df, {"en": 0.5, "de": 1.0, "zh": 0.0}).collect())
+    assert got1 == got2  # hash-uniform, not rand(): retry-stable
+    by_lang = {r.lang: r.n for r in out1.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert by_lang.get("de") == 500  # rate 1.0: all 500 'de' rows
+    assert "zh" not in by_lang  # rate 0.0: none
+    assert 380 <= by_lang.get("en", 0) <= 620  # 1000 rows at rate .5
+
+
+def test_epoch_upsample_copies_and_expectation(spark):
+    """floor(e) copies always, frac(e) share gets one more; copy index is
+    0-based and dense; e<1 downsamples."""
+    from entity_matchers_spark.operators.sampling import epoch_upsample
+
+    rows = [(i, "hi" if i < 1000 else "lo") for i in range(2000)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = epoch_upsample(df, {"hi": 2.5, "lo": 0.5})
+    per_doc = {r.doc_id: r.n for r in out.groupBy("doc_id").agg(F.count("*").alias("n")).collect()}
+    hi_counts = [per_doc.get(i, 0) for i in range(1000)]
+    lo_counts = [per_doc.get(i, 0) for i in range(1000, 2000)]
+    assert set(hi_counts) <= {2, 3} and min(hi_counts) == 2  # floor=2 guaranteed
+    assert set(lo_counts) <= {0, 1}
+    assert 2300 <= sum(hi_counts) <= 2700  # E = 2.5 per doc
+    assert 380 <= sum(lo_counts) <= 620  # E = 0.5 per doc
+    # copy indices dense 0..n-1 per doc
+    copies = out.groupBy("doc_id").agg(
+        F.sort_array(F.collect_list("copy")).alias("cs"), F.count("*").alias("n")
+    )
+    bad = copies.where(F.col("cs") != F.sequence(F.lit(0), F.col("n") - 1)).count()
+    assert bad == 0
