@@ -88,3 +88,37 @@ def epoch_upsample(
         out.withColumn(copy_col, F.explode(F.sequence(F.lit(0), F.col("_n_copies") - 1)))
         .drop("_n_copies")
     )
+
+
+def domain_cap(
+    df: DataFrame,
+    max_per_key: int,
+    key_col: str = "source",
+    id_col: str = "doc_id",
+    salt: str = "cap:",
+) -> DataFrame:
+    """Keep at most ``max_per_key`` rows per key (per-domain head-cap — the
+    anti-spam control every crawl pipeline applies before mixing: one SEO
+    farm must not dominate a source bucket).
+
+    Selection is a RANDOM-but-deterministic subset, not first-k by id:
+    rows are ranked inside their key by the md5-uniform (ties on id), so
+    the kept sample is unbiased w.r.t. crawl order yet stable across
+    retries and replayable by the oracle.
+
+    Scale shape: one shuffle on ``key_col`` + a rank. Spark's window sorts
+    each key's rows; for k << key size on truly giant keys, the same
+    semantics pre-thin with a per-partition partial top-k (the rank is on
+    a fixed per-row hash, so partial top-k commutes) — at the fixture's
+    key sizes the straight window is the faster plan.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(key_col).orderBy(
+        hash_uniform(F.col(id_col), salt).asc(), F.col(id_col).asc()
+    )
+    return (
+        df.withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") <= max_per_key)
+        .drop("_rk")
+    )

@@ -228,3 +228,50 @@ def contamination_flags(
             (F.coalesce("n_hits", F.lit(0)) > 0).cast("int").alias("contaminated"),
         )
     )
+
+
+def dup_passage_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 13,
+) -> DataFrame:
+    """Corpus-internal duplicated-passage fraction per doc: the share of a
+    doc's DISTINCT token n-grams that occur in at least one other doc
+    (RefinedWeb/MassiveText-style exact-substring signal at n=13 tokens;
+    distinct from ``contamination_flags``, which checks overlap against a
+    held-out benchmark rather than within the corpus).
+
+    Shape: grams are md5-hashed to longs map-side (shrinks the shuffle ~4x
+    vs strings), one explode -> groupBy(gram) document-frequency, one join
+    back, one per-doc aggregate — every stage is a bounded equi-shuffle.
+    Docs with fewer than ``n`` tokens have no grams and score 0.0 over 0.
+    """
+    from entity_matchers_spark.functions.shingles import token_shingles
+
+    gram_long = F.transform(
+        token_shingles(F.col(text_col), n=n),
+        lambda g: F.conv(F.substring(F.md5(g), 1, 8), 16, 10).cast("long"),
+    )
+    grams = df.select(F.col(id_col).alias("id"), F.explode(gram_long).alias("g")).distinct()
+    # document frequency per gram; a gram is "duplicated" iff df >= 2.
+    gdf = grams.groupBy("g").agg(F.count("*").alias("df"))
+    per_doc = (
+        grams.join(gdf, "g")
+        .groupBy("id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.sum((F.col("df") >= 2).cast("int")).alias("n_dup"),
+        )
+    )
+    return (
+        df.select(F.col(id_col).alias("id"))
+        .join(per_doc, "id", "left")
+        .select(
+            "id",
+            F.coalesce("n_grams", F.lit(0)).alias("n_grams"),
+            F.when(F.coalesce(F.col("n_grams"), F.lit(0)) <= 0, F.lit(0.0))
+            .otherwise(F.col("n_dup") / F.col("n_grams").cast("double"))
+            .alias("dup_frac"),
+        )
+    )

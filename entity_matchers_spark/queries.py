@@ -866,6 +866,70 @@ FROM n WHERE n_copies > 0
 """
 
 
+DOMAIN_CAP_K = 5
+DUP_PASSAGE_N = 13
+
+
+def q_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain head-cap: keep at most 5 docs per source, selected by a
+    deterministic md5-uniform rank inside each source (unbiased w.r.t.
+    crawl order, retry-stable, oracle-replayable). The anti-spam control a
+    crawl pipeline applies before mixing."""
+    from entity_matchers_spark.operators.sampling import domain_cap
+
+    return domain_cap(_docs(spark, sf_dir), DOMAIN_CAP_K).select("doc_id", "lang", "source")
+
+
+Q_DOMAIN_CAP_SQL = f"""
+SELECT doc_id, lang, source FROM (
+  SELECT doc_id, lang, source,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY {_HASH_U_SQL.format(salt="cap:", col="doc_id")} ASC, doc_id ASC
+         ) AS rk
+  FROM documents
+) WHERE rk <= {DOMAIN_CAP_K}
+"""
+
+
+def q_dup_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-internal duplicated-passage fraction per doc: share of the
+    doc's distinct token 13-grams occurring in >=2 docs (RefinedWeb-style
+    exact-substring signal; corpus-internal, unlike `decontaminate`)."""
+    from entity_matchers_spark.operators.text_analysis import dup_passage_stats
+
+    out = dup_passage_stats(_docs(spark, sf_dir), n=DUP_PASSAGE_N)
+    return out.select(
+        F.col("id").alias("doc_id"), "n_grams", F.round("dup_frac", 9).alias("dup_frac")
+    )
+
+
+Q_DUP_PASSAGES_SQL = f"""
+WITH toks AS MATERIALIZED (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\\s+'), x -> x != '') AS ts
+  FROM documents
+),
+grams AS MATERIALIZED (
+  SELECT doc_id,
+         list_distinct([('0x'||substr(md5(array_to_string(ts[i:i+{DUP_PASSAGE_N - 1}], ' ')),1,8))::UBIGINT::BIGINT
+                        for i in range(1, len(ts)-{DUP_PASSAGE_N - 2})]) AS gs
+  FROM toks
+),
+e AS MATERIALIZED (SELECT doc_id, unnest(gs) AS g FROM grams),
+gdf AS MATERIALIZED (SELECT g, count(*) AS df FROM e GROUP BY g),
+per_doc AS (
+  SELECT doc_id, count(*) AS n_grams,
+         sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS n_dup
+  FROM e JOIN gdf USING (g) GROUP BY doc_id
+)
+SELECT d.doc_id, coalesce(p.n_grams, 0) AS n_grams,
+       round(CASE WHEN coalesce(p.n_grams, 0) <= 0 THEN 0.0
+                  ELSE p.n_dup / p.n_grams::DOUBLE END, 9) AS dup_frac
+FROM documents d LEFT JOIN per_doc p ON d.doc_id = p.doc_id
+"""
+
+
 # Decontamination: benchmark = every 97th doc id (deterministic stand-in for
 # a held-out eval suite); corpus = the rest; overlap key = token 5-grams.
 DECON_BENCH_MOD = 97
@@ -3131,6 +3195,8 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "er_mwgm_exact": (q_er_mwgm_exact, None),
     "stratified_sample": (q_stratified_sample, Q_STRATIFIED_SAMPLE_SQL),
     "epoch_upsample": (q_epoch_upsample, Q_EPOCH_UPSAMPLE_SQL),
+    "domain_cap": (q_domain_cap, Q_DOMAIN_CAP_SQL),
+    "dup_passages": (q_dup_passages, Q_DUP_PASSAGES_SQL),
     "imuse_interactive": (q_imuse_interactive, Q_IMUSE_INTERACTIVE_SQL),
     # -- (4) no driver row in r2 / implementation changed in round 3
     "multimodal_features": (q_multimodal_features, Q_MULTIMODAL_SQL),

@@ -447,3 +447,40 @@ def test_epoch_upsample_copies_and_expectation(spark):
     )
     bad = copies.where(F.col("cs") != F.sequence(F.lit(0), F.col("n") - 1)).count()
     assert bad == 0
+
+
+def test_domain_cap_bounds_and_determinism(spark):
+    """Each key keeps at most k rows, keys under the cap keep everything,
+    and the kept subset is identical across runs."""
+    from entity_matchers_spark.operators.sampling import domain_cap
+
+    rows = [(i, f"src{i % 3}") for i in range(30)] + [(100, "tiny")]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out1 = sorted(r.doc_id for r in domain_cap(df, 4).collect())
+    out2 = sorted(r.doc_id for r in domain_cap(df, 4).collect())
+    assert out1 == out2
+    sizes = {r.source: r.n for r in domain_cap(df, 4).groupBy("source").agg(F.count("*").alias("n")).collect()}
+    assert sizes == {"src0": 4, "src1": 4, "src2": 4, "tiny": 1}
+
+
+def test_dup_passage_stats_shared_span(spark):
+    """Docs sharing a >=n-token span score dup_frac > 0 on exactly the
+    shared grams; a unique doc scores 0; a too-short doc scores 0 over 0."""
+    from entity_matchers_spark.operators.text_analysis import dup_passage_stats
+
+    span = "one two three four five"
+    docs = spark.createDataFrame(
+        [
+            (1, f"{span} alpha beta"),
+            (2, f"prefix words here {span}"),
+            (3, "totally different text with no shared spans at all ok"),
+            (4, "short"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.id: r for r in dup_passage_stats(docs, n=5).collect()}
+    assert out[1].dup_frac > 0 and out[2].dup_frac > 0
+    assert out[3].dup_frac == 0.0 and out[3].n_grams > 0
+    assert out[4].n_grams == 0 and out[4].dup_frac == 0.0
+    # doc1: grams = 3 ("one..five","two..alpha","three..beta"); only the first is shared
+    assert abs(out[1].dup_frac - 1 / 3) < 1e-9
