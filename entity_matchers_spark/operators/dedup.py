@@ -274,8 +274,14 @@ def minhash_neardup_pairs(
     shingle_n: int = 7,
     text_cap: int = 10_000,
     seed: int = 11037,
+    grams_arr: DataFrame | None = None,
 ) -> DataFrame:
     """Near-dup pairs via MinHash-LSH candidates + exact Jaccard verify.
+
+    ``grams_arr`` optionally supplies an already-MATERIALIZED hashed-gram
+    table ``(id, grams, sz)`` with the same shingle/cap semantics, so
+    callers running several near-dup queries over one corpus (the registry
+    runs pairs AND resolve) hash the corpus once.
 
     The verify step makes output independent of LSH parameters *given*
     sufficient recall (banding only generates candidates; Jaccard decides).
@@ -307,12 +313,13 @@ def minhash_neardup_pairs(
     from entity_matchers_spark.functions.shingles import hashed_shingles
 
     num_perm = num_bands * rows_per_band
-    grams_arr = df.select(
-        F.col(id_col).alias("id"),
-        hashed_shingles(F.lower(F.substring(F.col(text_col), 1, text_cap)), n=shingle_n).alias("grams"),
-    ).withColumn("sz", F.size("grams"))
-    # ONE md5 pass over the corpus; every downstream stage reads these bytes
-    grams_arr = grams_arr.localCheckpoint()
+    if grams_arr is None:
+        grams_arr = df.select(
+            F.col(id_col).alias("id"),
+            hashed_shingles(F.lower(F.substring(F.col(text_col), 1, text_cap)), n=shingle_n).alias("grams"),
+        ).withColumn("sz", F.size("grams"))
+        # ONE md5 pass over the corpus; every downstream stage reads these bytes
+        grams_arr = grams_arr.localCheckpoint()
     base = grams_arr.select("id", F.explode("grams").alias("hg")).select(
         "id", (F.col("hg") % MINHASH_PRIME).alias("h")
     )
@@ -508,9 +515,17 @@ def neardup_resolve(
     shingle_n: int = 7,
     num_bands: int = 30,
     rows_per_band: int = 3,
+    grams_arr: DataFrame | None = None,
+    pairs: DataFrame | None = None,
 ) -> DataFrame:
     """End-to-end near-dup resolution: MinHash-LSH pairs → connected
     components → one canonical keeper per duplicate cluster.
+
+    ``pairs`` optionally supplies an already-computed duplicate-pair table
+    (id_a, id_b) — e.g. the output of ``minhash_neardup_pairs`` a caller
+    has materialized for its own purposes — skipping the LSH stage
+    entirely; ``grams_arr`` (see ``minhash_neardup_pairs``) shares just
+    the hashed-gram pass.
 
     This is the step that actually SHRINKS the corpus: `minhash_neardup_pairs`
     emits the duplicate graph, hash-min CC groups transitively-linked docs
@@ -530,15 +545,17 @@ def neardup_resolve(
     """
     from entity_matchers_spark.operators.clustering import clusters_with_singletons
 
-    pairs = minhash_neardup_pairs(
-        df,
-        id_col=id_col,
-        text_col=text_col,
-        threshold=threshold,
-        shingle_n=shingle_n,
-        num_bands=num_bands,
-        rows_per_band=rows_per_band,
-    )
+    if pairs is None:
+        pairs = minhash_neardup_pairs(
+            df,
+            id_col=id_col,
+            text_col=text_col,
+            threshold=threshold,
+            shingle_n=shingle_n,
+            num_bands=num_bands,
+            rows_per_band=rows_per_band,
+            grams_arr=grams_arr,
+        )
     cc = clusters_with_singletons(df, pairs.select("id_a", "id_b"), id_col=id_col)
     return cc.select(
         "id",

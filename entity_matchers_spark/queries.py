@@ -74,6 +74,21 @@ def _er_cached(spark: SparkSession, sf_dir: str, key: str, build) -> DataFrame:
     return _ER_CACHE[k]
 
 
+def _doc_grams7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized hashed 7-gram table (id, grams, sz) for the documents
+    corpus — shared by the MinHash near-dup pair and resolve queries so the
+    registry hashes the corpus once (same idea as the ER-chain prefix)."""
+    from entity_matchers_spark.functions.shingles import hashed_shingles
+
+    def build() -> DataFrame:
+        return _docs(spark, sf_dir).select(
+            F.col("doc_id").alias("id"),
+            hashed_shingles(F.lower(F.substring(F.col("text"), 1, 10_000)), n=7).alias("grams"),
+        ).withColumn("sz", F.size("grams"))
+
+    return _er_cached(spark, sf_dir, "doc_grams7", build)
+
+
 # --- SQL oracle fragments ---------------------------------------------------
 
 
@@ -747,9 +762,23 @@ def q_neardup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     share ~0.4-0.65 of their trigrams, so a 3-gram LSH degenerates to an
     all-pairs join (measured: 11.3M candidates / 12.5M pairs at sf0.1);
     7-grams drop the background to ~0.06 and the join to ~linear."""
+    return _neardup_pairs7(spark, sf_dir)
+
+
+def _neardup_pairs7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized MinHash near-dup pairs (J >= 0.7, 7-gram) — the pair
+    table is the shared prefix of `neardup_minhash` and `neardup_resolve`,
+    so the registry runs the LSH join + exact verify once."""
     from entity_matchers_spark.operators.dedup import minhash_neardup_pairs
 
-    return minhash_neardup_pairs(_docs(spark, sf_dir), threshold=0.7)
+    return _er_cached(
+        spark,
+        sf_dir,
+        "neardup_pairs7",
+        lambda: minhash_neardup_pairs(
+            _docs(spark, sf_dir), threshold=0.7, grams_arr=_doc_grams7(spark, sf_dir)
+        ),
+    )
 
 
 Q_NEARDUP_MINHASH_SQL = """
@@ -777,7 +806,9 @@ def q_neardup_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
     {A,B,C}) match the standard web-dedup contract."""
     from entity_matchers_spark.operators.dedup import neardup_resolve
 
-    return neardup_resolve(_docs(spark, sf_dir), threshold=0.7)
+    return neardup_resolve(
+        _docs(spark, sf_dir), threshold=0.7, pairs=_neardup_pairs7(spark, sf_dir)
+    )
 
 
 Q_NEARDUP_RESOLVE_SQL = """
