@@ -126,10 +126,12 @@ def scaling_probe(sf_dir: str, lo: int, hi: int, repeats: int, rounds: int = 2) 
     narrow (lo) level leaves most cores idle, so neighbor load lands there
     and lo samples are stable (measured 207-212 s across passes); the wide
     (hi) level contends for every core, so hi samples swing 2x between
-    back-to-back identical passes. Hence lo runs once per round while hi
-    runs ``max(3, repeats)`` passes in one session and keeps the fastest —
-    the pass least distorted by external load. Every pass time is reported
-    so the spread (and the pairing) stays auditable.
+    back-to-back identical passes — and a single lo sample can be hit the
+    same way. Hence lo runs once per round (its spread is narrower) while
+    hi runs ``max(3, repeats)`` passes in one session, and the reported
+    efficiency is the ratio of each level's best pass across the whole
+    probe (see the comment at the efficiency computation). Every pass time
+    is reported so the spread stays auditable.
     """
     hi_repeats = max(3, repeats)
     best: dict[int, dict] = {}
@@ -154,13 +156,16 @@ def scaling_probe(sf_dir: str, lo: int, hi: int, repeats: int, rounds: int = 2) 
             if n not in best or res["pairs_per_sec"] > best[n]["pairs_per_sec"]:
                 best[n] = res
         round_samples.append(samples)
-    # Efficiency is computed PER ROUND and the best round is reported:
-    # host interference is time-correlated, and a round's lo/hi samples run
-    # back-to-back in the same noise window, so their ratio cancels shared
-    # load. Pairing cross-round bests instead can match a lucky quiet-window
-    # lo against a noisy hi and report sub-linearity the engine doesn't
-    # have (round 2 recorded 0.742 that way vs 0.868 in a quiet window).
-    # All per-round samples are reported so the pairing is auditable.
+    # Efficiency = ratio of each level's BEST observed throughput across
+    # all passes/rounds. Both levels sample a deterministic job under
+    # one-sided external noise (interference only ever slows a pass down),
+    # so each level's fastest pass is its least-distorted estimate and the
+    # ratio of bests estimates the noise-free ratio. Pairing within a round
+    # instead is biased in whichever direction the noise happened to land:
+    # r2's driver snapshot paired a quiet lo with a noisy hi (0.742 vs
+    # 0.868 quiet); a later run paired a noisy lo with a quiet hi and
+    # reported a superlinear 1.20 — both artifacts of one-sided pairing,
+    # not the engine. Per-round ratios are still reported for audit.
     per_round_eff = [
         round((s[hi] / s[lo]) / (hi / lo), 3) for s in round_samples if s[lo]
     ]
@@ -179,7 +184,7 @@ def scaling_probe(sf_dir: str, lo: int, hi: int, repeats: int, rounds: int = 2) 
         "pass_log": pass_log,
         "efficiency_per_round": per_round_eff,
         "speedup": round(thr_hi / thr_lo, 3) if thr_lo else None,
-        "efficiency": max(per_round_eff) if per_round_eff else 0.0,
+        "efficiency": round((thr_hi / thr_lo) / (hi / lo), 3) if thr_lo else 0.0,
     }
 
 
