@@ -499,3 +499,61 @@ def mwgm_exact(
         )
 
     return pairs.groupBy("cluster_id").applyInPandas(solve, out_schema)
+
+
+def incremental_assign(
+    scored: DataFrame,
+    increment: DataFrame,
+    id_col: str = "id",
+    threshold: float = 0.5,
+    score_col: str = "score",
+) -> DataFrame:
+    """Match a NEW increment of records against the existing corpus — the
+    daily-crawl operational path on top of the batch pipeline: incoming
+    docs link to their best existing match or open a new entity.
+
+    ``scored`` is the symmetric blocked-pair score table (id_a, id_b,
+    score); ``increment`` is a one-column table of the new ids. Pairs are
+    normalized so the increment side is first (pairs between two increment
+    docs or two corpus docs are dropped — increment-internal duplicates
+    are the near-dup operators' job), then each increment id keeps its
+    best corpus partner with score >= threshold, ties on partner id
+    ascending. Every increment id is returned: matched_to is NULL and
+    is_new = 1 for docs that open a new entity.
+
+    Scale shape: one broadcast-or-shuffle semi-join to split orientations,
+    one window argmax on the increment id, one left join back — all keyed
+    on ids; the increment is typically tiny relative to the corpus, so at
+    production scale the increment side broadcasts and the corpus-side
+    score table never reshuffles. Reference analog: the evaluation's
+    per-left argmax decision (alignment.py:239-268) applied to a
+    corpus-vs-increment split instead of KG1-vs-KG2.
+    """
+    inc = increment.select(F.col(id_col).alias("_inc_id")).distinct()
+    fwd = (
+        scored.join(inc, scored["id_a"] == inc["_inc_id"], "left_semi")
+        .join(inc.withColumnRenamed("_inc_id", "id_b"), "id_b", "left_anti")
+        .select(F.col("id_a").alias("inc_id"), F.col("id_b").alias("corp_id"), score_col)
+    )
+    rev = (
+        scored.join(inc.withColumnRenamed("_inc_id", "id_b"), "id_b", "left_semi")
+        .join(inc.withColumnRenamed("_inc_id", "id_a"), "id_a", "left_anti")
+        .select(F.col("id_b").alias("inc_id"), F.col("id_a").alias("corp_id"), score_col)
+    )
+    cands = fwd.unionByName(rev).where(F.col(score_col) >= threshold)
+    w = Window.partitionBy("inc_id").orderBy(F.col(score_col).desc(), F.col("corp_id").asc())
+    best = (
+        cands.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select("inc_id", "corp_id", score_col)
+    )
+    return (
+        inc.select(F.col("_inc_id").alias("inc_id"))
+        .join(best, "inc_id", "left")
+        .select(
+            F.col("inc_id").alias(id_col),
+            F.col("corp_id").alias("matched_to"),
+            F.col(score_col).alias("match_score"),
+            F.col("corp_id").isNull().cast("int").alias("is_new"),
+        )
+    )

@@ -1965,6 +1965,48 @@ SELECT id_a, id_b, score FROM (
 )
 
 
+ER_INCREMENT_MOD = 10  # docs with doc_id % 10 == 0 play the "new crawl"
+
+
+def q_er_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental linkage: match a new-crawl increment (doc_id % 10 == 0)
+    against the existing corpus over the shared blocked-score table — each
+    incoming doc links to its best existing match at score >= 0.7 or opens
+    a new entity (matched_to NULL, is_new=1). The daily operational path
+    on top of the batch pipeline."""
+    scored = _er_spark_scores(spark, sf_dir)
+    docs = _docs(spark, sf_dir)
+    inc = docs.where((F.col("doc_id") % ER_INCREMENT_MOD) == 0).select("doc_id")
+    out = matching.incremental_assign(scored, inc, id_col="doc_id", threshold=0.7)
+    return out.select(
+        "doc_id", "matched_to", F.round("match_score", 9).alias("match_score"), "is_new"
+    )
+
+
+Q_ER_INCREMENTAL_SQL = (
+    f"WITH {_er_blocks_sql()}, {_er_pairs_sql()}, {_er_scores_sql()},\n"
+    f"""
+  cands AS (
+    SELECT id_a AS inc_id, id_b AS corp_id, score FROM final_scored
+    WHERE id_a % {ER_INCREMENT_MOD} = 0 AND id_b % {ER_INCREMENT_MOD} <> 0
+    UNION ALL
+    SELECT id_b, id_a, score FROM final_scored
+    WHERE id_b % {ER_INCREMENT_MOD} = 0 AND id_a % {ER_INCREMENT_MOD} <> 0
+  ),
+  best AS (
+    SELECT inc_id, corp_id, score FROM (
+      SELECT inc_id, corp_id, score,
+             row_number() OVER (PARTITION BY inc_id ORDER BY score DESC, corp_id ASC) AS rn
+      FROM cands WHERE score >= 0.7) WHERE rn = 1
+  )
+SELECT i.doc_id, b.corp_id AS matched_to, round(b.score, 9) AS match_score,
+       CASE WHEN b.corp_id IS NULL THEN 1 ELSE 0 END AS is_new
+FROM (SELECT doc_id FROM documents WHERE doc_id % {ER_INCREMENT_MOD} = 0) i
+LEFT JOIN best b ON i.doc_id = b.inc_id
+"""
+)
+
+
 def q_er_threshold_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Threshold + top-k candidate filter (alignment_finder.py:28-77)."""
     scored = _er_spark_scores(spark, sf_dir)
@@ -3228,6 +3270,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "epoch_upsample": (q_epoch_upsample, Q_EPOCH_UPSAMPLE_SQL),
     "domain_cap": (q_domain_cap, Q_DOMAIN_CAP_SQL),
     "dup_passages": (q_dup_passages, Q_DUP_PASSAGES_SQL),
+    "er_incremental": (q_er_incremental, Q_ER_INCREMENTAL_SQL),
     "imuse_interactive": (q_imuse_interactive, Q_IMUSE_INTERACTIVE_SQL),
     # -- (4) no driver row in r2 / implementation changed in round 3
     "multimodal_features": (q_multimodal_features, Q_MULTIMODAL_SQL),

@@ -312,3 +312,29 @@ def test_mwgm_exact_oversize_greedy_fallback(spark):
     assert again == got
     with pytest.raises(Exception):
         mwgm_exact(scored, max_component=4, oversize="raise").collect()
+
+
+def test_incremental_assign_orientations_and_new(spark):
+    """Increment ids match their best corpus partner regardless of pair
+    orientation; increment-internal pairs are ignored; unmatched increment
+    ids come back with matched_to NULL and is_new=1."""
+    from entity_matchers_spark.operators.matching import incremental_assign
+
+    scored = spark.createDataFrame(
+        [
+            (10, 1, 0.9),   # inc 10 vs corpus 1 (forward orientation)
+            (10, 2, 0.8),
+            (3, 20, 0.85),  # corpus 3 vs inc 20 (reverse orientation)
+            (10, 20, 0.99), # increment-internal: must be ignored
+            (4, 5, 0.95),   # corpus-internal: irrelevant
+            (30, 6, 0.2),   # inc 30: best is below threshold -> new
+        ],
+        "id_a long, id_b long, score double",
+    )
+    inc = spark.createDataFrame([(10,), (20,), (30,), (40,)], "id long")
+    out = {r.id: r for r in incremental_assign(scored, inc, threshold=0.5).collect()}
+    assert len(out) == 4
+    assert (out[10].matched_to, out[10].is_new) == (1, 0)
+    assert (out[20].matched_to, out[20].is_new) == (3, 0)
+    assert out[30].matched_to is None and out[30].is_new == 1
+    assert out[40].matched_to is None and out[40].is_new == 1  # no candidates at all
