@@ -269,8 +269,8 @@ def minhash_neardup_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     threshold: float = 0.7,
-    num_bands: int = 30,
-    rows_per_band: int = 3,
+    num_bands: int = 40,
+    rows_per_band: int = 4,
     shingle_n: int = 7,
     text_cap: int = 10_000,
     seed: int = 11037,
@@ -285,7 +285,8 @@ def minhash_neardup_pairs(
 
     The verify step makes output independent of LSH parameters *given*
     sufficient recall (banding only generates candidates; Jaccard decides).
-    With 30×3 bands, P(candidate | J=0.7) ≈ 1 - (1-0.343)^30 ≈ 1 - 3.4e-6.
+    With 40×4 bands, P(candidate | J=0.7) ≈ 1 - (1-0.24)^40 ≈ 1 - 1.7e-5
+    (true pairs here sit at J ≥ 0.9: miss ≈ (1-0.656)^40 ≈ 4e-19).
 
     Shingle width is the SELECTIVITY knob, and it must be wide enough that
     unrelated documents don't look alike: on web-style prose, char-3-gram
@@ -294,8 +295,9 @@ def minhash_neardup_pairs(
     measured at sf0.1, a 3-gram 16×2 configuration emitted 11.3M candidates
     out of 12.5M possible pairs: an all-pairs join in disguise. At n=7 the
     background drops to ~0.06 (p99 0.13) while true near-dups stay ≥0.9, so
-    the same corpus yields ~1-2% candidate rate and the LSH join grows
-    linearly in n_docs. Same reasoning as Broder's ~10-char shingles; the
+    the same corpus yields a ~0.06% candidate rate (40×4 bands: 7.4k
+    candidates for 5k docs vs 11.3M under 3-gram 16×2 — measured) and the
+    join grows with the near-dup mass, not n². Same reasoning as Broder's ~10-char shingles; the
     reference's 3-grams are an ES *blocking* choice (recall-oriented, top-k
     capped per doc, /root/reference/README.md:378), not a near-dup metric.
 
@@ -513,8 +515,8 @@ def neardup_resolve(
     text_col: str = "text",
     threshold: float = 0.7,
     shingle_n: int = 7,
-    num_bands: int = 30,
-    rows_per_band: int = 3,
+    num_bands: int = 40,
+    rows_per_band: int = 4,
     grams_arr: DataFrame | None = None,
     pairs: DataFrame | None = None,
 ) -> DataFrame:

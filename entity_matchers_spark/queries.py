@@ -756,8 +756,8 @@ WHERE len(list_intersect(a.grams, b.grams))
 def q_neardup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-dup: banded candidates + exact Jaccard ≥ 0.7 verify
     over 7-char shingles. Oracle = ALL pairs with J ≥ 0.7 — passing requires
-    the LSH candidate set to reach full recall at this threshold (30 bands ×
-    3 rows: miss ≈ 3.4e-6 at exactly 0.7, ~1e-11 at the observed true-pair
+    the LSH candidate set to reach full recall at this threshold (40 bands ×
+    4 rows: miss ≈ 1.7e-5 at exactly 0.7, ~4e-19 at the observed true-pair
     J ≥ 0.9). Shingle width 7, not 3: on web-style prose, random doc pairs
     share ~0.4-0.65 of their trigrams, so a 3-gram LSH degenerates to an
     all-pairs join (measured: 11.3M candidates / 12.5M pairs at sf0.1);
