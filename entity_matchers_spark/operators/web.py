@@ -1,0 +1,173 @@
+"""Web-corpus operators: URL canonicalization, PII scrubbing, unigram
+language-model quality scoring.
+
+The reference pipeline's inputs are entity dumps keyed by URI
+(/root/reference/src/experiment_yago.py and the DBpedia/YAGO preprocess
+scripts normalize URI prefixes before matching); at Common-Crawl scale the
+same normalization problem appears as URL canonicalization — the first
+dedup key of any crawl pipeline. PII scrubbing and LM-based quality
+scoring are the standard filters that sit next to dedup in a training-data
+pipeline (C4/CCNet-style).
+
+All three operators are native column expressions or plain joins — no
+Python in the data path. Regex patterns are restricted to the
+Java-regex ∩ RE2 common subset so the DuckDB oracles replay them exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from entity_matchers_spark.functions.shingles import tokens
+
+# Tracking parameters dropped during canonicalization (the common subset
+# every crawl pipeline strips). Checked as `name=` prefixes on each query
+# pair, so `utm_sourcery=1` is NOT dropped.
+TRACKING_PARAMS: tuple[str, ...] = (
+    "utm_source",
+    "utm_medium",
+    "utm_campaign",
+    "utm_term",
+    "utm_content",
+    "fbclid",
+    "gclid",
+)
+
+_URL_RE = r"^([a-zA-Z][a-zA-Z0-9+.-]*)://([^/?#]*)([^?#]*)(\?[^#]*)?(#.*)?$"
+
+
+def canonicalize_urls(df: DataFrame, url_col: str = "url") -> DataFrame:
+    """Append ``url_canon`` + ``domain`` columns.
+
+    Canonicalization rules (each a pure native expression, so the whole
+    thing is one whole-stage-codegen projection — embarrassingly parallel
+    at any scale):
+
+    - scheme and host lowercased; path/query case preserved
+    - ``www.`` host prefix dropped
+    - default ports stripped (``:80`` for http, ``:443`` for https)
+    - fragment dropped
+    - tracking query params dropped (``TRACKING_PARAMS``), remaining
+      params kept in original order; an emptied query string disappears
+    - trailing ``/`` stripped from non-root paths; empty path → ``/``
+
+    ``domain`` is the registrable domain approximated as the last two
+    host labels (correct for gTLDs; a public-suffix list would slot in as
+    a broadcast join without changing the plan shape).
+    """
+    u = F.col(url_col)
+    scheme = F.lower(F.regexp_extract(u, _URL_RE, 1))
+    hostport = F.lower(F.regexp_extract(u, _URL_RE, 2))
+    path = F.regexp_extract(u, _URL_RE, 3)
+    query = F.regexp_extract(u, _URL_RE, 4)  # includes leading '?', '' if none
+
+    host = F.regexp_replace(hostport, r":[0-9]+$", "")
+    port = F.regexp_extract(hostport, r":([0-9]+)$", 1)
+    host = F.regexp_replace(host, r"^www\.", "")
+    keep_port = (port != "") & ~(
+        ((scheme == "http") & (port == "80"))
+        | ((scheme == "https") & (port == "443"))
+    )
+    hostport_c = F.when(keep_port, F.concat(host, F.lit(":"), port)).otherwise(host)
+
+    path_c = F.when(path == "", F.lit("/")).otherwise(
+        F.when(
+            (F.length(path) > 1) & path.endswith("/"),
+            path.substr(F.lit(1), F.length(path) - 1),
+        ).otherwise(path)
+    )
+
+    params = F.filter(
+        F.split(F.regexp_replace(query, r"^\?", ""), "&"),
+        lambda p: (p != "")
+        & ~F.exists(
+            F.array(*[F.lit(t) for t in TRACKING_PARAMS]),
+            lambda t: p.startswith(F.concat(t, F.lit("="))),
+        ),
+    )
+    query_c = F.when(
+        F.size(params) > 0, F.concat(F.lit("?"), F.array_join(params, "&"))
+    ).otherwise(F.lit(""))
+
+    canon = F.concat(scheme, F.lit("://"), hostport_c, path_c, query_c)
+    domain = F.regexp_extract(host, r"([^.]+\.[^.]+)$", 1)
+    return df.withColumn("url_canon", canon).withColumn("domain", domain)
+
+
+def url_duplicates(df: DataFrame, url_col: str = "url") -> DataFrame:
+    """Canonical-URL dedup audit: per row, the canonical form, registrable
+    domain, and how many corpus rows share that canonical URL. One
+    groupBy(url_canon) shuffle + one join back — at 10^12 rows the count
+    side is a partial-aggregated shuffle on an (almost) unique key, the
+    classic crawl URL-dedup plan."""
+    canon = canonicalize_urls(df, url_col)
+    counts = canon.groupBy("url_canon").agg(F.count("*").alias("n_same_url"))
+    return canon.join(counts, "url_canon")
+
+
+# --- PII scrubbing ------------------------------------------------------------
+
+# Java-regex ∩ RE2 subset (no backrefs / lookaround), so DuckDB replays
+# them byte-identically.
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ipv4": r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b",
+    "phone": r"\+[0-9]{7,15}\b",
+}
+
+
+def pii_scrub(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(id, n_email, n_ipv4, n_phone, clean_text): count each PII class and
+    replace every occurrence with a typed placeholder (``<EMAIL>`` etc.).
+
+    Counting uses ``regexp_count``-equivalent ``size(regexp_extract_all)``;
+    redaction chains three global ``regexp_replace``es — all JVM-side, one
+    projection, no shuffle. Order matters: emails first (an email contains
+    no ipv4/phone match under these anchored patterns, but redacting
+    narrower classes first could split a wider match)."""
+    t = F.col(text_col)
+    out = df.select(
+        F.col(id_col).alias("id"),
+        *[
+            F.size(F.regexp_extract_all(t, F.lit(pat), 0)).alias(f"n_{name}")
+            for name, pat in PII_PATTERNS.items()
+        ],
+        t.alias("_t"),
+    )
+    clean = F.col("_t")
+    for name, pat in PII_PATTERNS.items():
+        clean = F.regexp_replace(clean, pat, f"<{name.upper()}>")
+    return out.withColumn("clean_text", clean).drop("_t")
+
+
+# --- unigram LM quality score -------------------------------------------------
+
+
+def unigram_lm_scores(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id, n_tokens, mean_logprob): score each document by the mean
+    log-probability of its tokens under the corpus's own unigram model —
+    the cheap stand-in for the KenLM perplexity filter in CCNet-style
+    pipelines (low mean_logprob = rare-token gibberish, high = boilerplate).
+
+    Plan shape: explode → two-level aggregate. The unigram table is
+    aggregated map-side first (partial aggregation on token), and the
+    token→count join runs as a plain shuffle join: at web scale the vocab
+    is Zipf-bounded (~10^8 rows) — too big to assume broadcastable, small
+    enough that AQE will broadcast it when it actually fits. The final
+    per-doc mean is one more partial-aggregated shuffle on doc id.
+    """
+    toks = df.select(
+        F.col(id_col).alias("id"), F.explode(tokens(F.col(text_col))).alias("tok")
+    )
+    cnt = toks.groupBy("tok").agg(F.count("*").alias("c"))
+    total = cnt.agg(F.sum("c").alias("n_total"))
+    scored = toks.join(cnt, "tok").crossJoin(F.broadcast(total))
+    return scored.groupBy("id").agg(
+        F.count("*").alias("n_tokens"),
+        F.round(
+            F.avg(F.log(F.col("c") / F.col("n_total").cast("double"))), 6
+        ).alias("mean_logprob"),
+    )

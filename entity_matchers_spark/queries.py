@@ -3236,6 +3236,149 @@ JOIN cba USING (id_a, id_b) JOIN cbb USING (id_a, id_b)
 )
 
 
+# --- web-corpus operators: URL canonicalization, PII scrub, LM scoring --------
+#
+# The documents fixture has no url column and no planted PII, so these
+# queries synthesize both DETERMINISTICALLY from doc_id — the same
+# construction appears verbatim in the oracle SQL, while the oracle's
+# *canonicalization* is derived independently via doc_id arithmetic (two
+# different derivations agreeing is a stronger check than replaying one).
+
+
+def _synth_url() -> Column:
+    """Deterministic messy URL per doc: mixed-case scheme/host, www prefix,
+    default and non-default ports, trailing slashes, tracking params, and
+    fragments — every rule in canonicalize_urls gets exercised."""
+    d = F.col("doc_id")
+    return F.concat(
+        F.when(d % 2 == 0, F.lit("HTTPS")).otherwise(F.lit("http")),
+        F.lit("://"),
+        F.when(d % 4 == 0, F.lit("WWW.")).otherwise(F.lit("")),
+        F.lit("Example.COM"),
+        F.when(d % 5 == 0, F.lit(":443"))
+        .when(d % 5 == 1, F.lit(":8080"))
+        .otherwise(F.lit("")),
+        F.lit("/Articles/"),
+        (d % 7).cast("string"),
+        F.when(d % 2 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.lit("?utm_source=rss&page="),
+        (d % 3).cast("string"),
+        F.when(d % 6 == 0, F.lit("&fbclid=IwAB12")).otherwise(
+            F.concat(F.lit("&ref=r"), (d % 2).cast("string"))
+        ),
+        F.when(d % 2 == 1, F.lit("#section-2")).otherwise(F.lit("")),
+    )
+
+
+def q_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization + canonical-URL dup audit: lowercase scheme/
+    host, strip www/default ports/fragments/tracking params/trailing
+    slashes, then count corpus rows per canonical form (the crawl-dedup
+    first key). The dup groups here are real: the trailing-slash and
+    fragment variants collapse onto the same canonical URL."""
+    from entity_matchers_spark.operators.web import url_duplicates
+
+    pages = _docs(spark, sf_dir).select("doc_id", _synth_url().alias("url"))
+    return url_duplicates(pages).select("doc_id", "url_canon", "domain", "n_same_url")
+
+
+Q_URL_CANONICAL_SQL = """
+WITH canon AS MATERIALIZED (
+  -- canonical form derived INDEPENDENTLY from doc_id arithmetic:
+  --   scheme lowercased; www. stripped; :443 kept only on http (d odd),
+  --   :8080 always kept; trailing slash stripped; utm_source/fbclid
+  --   dropped; page/ref kept in order; fragment dropped
+  SELECT doc_id,
+         (CASE WHEN doc_id % 2 = 0 THEN 'https' ELSE 'http' END)
+         || '://example.com'
+         || (CASE WHEN doc_id % 5 = 0 AND doc_id % 2 = 1 THEN ':443'
+                  WHEN doc_id % 5 = 1 THEN ':8080' ELSE '' END)
+         || '/Articles/' || CAST(doc_id % 7 AS VARCHAR)
+         || '?page=' || CAST(doc_id % 3 AS VARCHAR)
+         || (CASE WHEN doc_id % 6 = 0 THEN ''
+                  ELSE '&ref=r' || CAST(doc_id % 2 AS VARCHAR) END)
+         AS url_canon
+  FROM documents
+)
+SELECT doc_id, url_canon, 'example.com' AS domain,
+       count(*) OVER (PARTITION BY url_canon) AS n_same_url
+FROM canon
+"""
+
+
+_PII_AUG_SPARK = (
+    "concat(text, ' Contact Bob.Smith.u', doc_id, '@Mail.Example.org',"
+    " CASE WHEN doc_id % 3 = 0 THEN ' cc admin@ex.net' ELSE '' END,"
+    " ' or +4479460', lpad(CAST(doc_id % 1000 AS STRING), 3, '0'),"
+    " ' srv 10.', doc_id % 256, '.0.', (doc_id * 7) % 256, ' end')"
+)
+
+_PII_AUG_SQL = (
+    "text || ' Contact Bob.Smith.u' || doc_id || '@Mail.Example.org'"
+    " || (CASE WHEN doc_id % 3 = 0 THEN ' cc admin@ex.net' ELSE '' END)"
+    " || ' or +4479460' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')"
+    " || ' srv 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.'"
+    " || CAST((doc_id * 7) % 256 AS VARCHAR) || ' end'"
+)
+
+
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection + redaction over documents with deterministically
+    planted emails / E.164 phones / IPv4s (1 phone + 1 ip + 1-2 emails per
+    doc, so the oracle is discriminating on every class)."""
+    from entity_matchers_spark.operators.web import pii_scrub
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", F.expr(_PII_AUG_SPARK).alias("text")
+    )
+    return pii_scrub(docs).select(
+        F.col("id").alias("doc_id"), "n_email", "n_ipv4", "n_phone", "clean_text"
+    )
+
+
+Q_PII_SCRUB_SQL = rf"""
+WITH aug AS MATERIALIZED (
+  SELECT doc_id, {_PII_AUG_SQL} AS t FROM documents
+)
+SELECT doc_id,
+  len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{{2,}}')) AS n_email,
+  len(regexp_extract_all(t, '\b[0-9]{{1,3}}\.[0-9]{{1,3}}\.[0-9]{{1,3}}\.[0-9]{{1,3}}\b')) AS n_ipv4,
+  len(regexp_extract_all(t, '\+[0-9]{{7,15}}\b')) AS n_phone,
+  regexp_replace(
+    regexp_replace(
+      regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{{2,}}', '<EMAIL>', 'g'),
+      '\b[0-9]{{1,3}}\.[0-9]{{1,3}}\.[0-9]{{1,3}}\.[0-9]{{1,3}}\b', '<IPV4>', 'g'),
+    '\+[0-9]{{7,15}}\b', '<PHONE>', 'g') AS clean_text
+FROM aug
+"""
+
+
+def q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM quality score: mean token log-probability under the
+    corpus's own unigram distribution (the KenLM-perplexity-filter
+    stand-in of CCNet-style pipelines)."""
+    from entity_matchers_spark.operators.web import unigram_lm_scores
+
+    return unigram_lm_scores(_docs(spark, sf_dir)).select(
+        F.col("id").alias("doc_id"), "n_tokens", "mean_logprob"
+    )
+
+
+Q_LM_SCORE_SQL = r"""
+WITH toks AS MATERIALIZED (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(lower(text), '\s+'), x -> x != '')) AS tok
+  FROM documents
+),
+cnt AS MATERIALIZED (SELECT tok, count(*) AS c FROM toks GROUP BY tok),
+tot AS (SELECT sum(c)::DOUBLE AS n_total FROM cnt)
+SELECT doc_id, count(*) AS n_tokens,
+       round(avg(ln(c / n_total)), 6) AS mean_logprob
+FROM toks JOIN cnt USING (tok) CROSS JOIN tot
+GROUP BY doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 
 # Registry order is GATE-AWARE: the driver's correctness file records only
@@ -3257,7 +3400,11 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "pricing_summary": (q_pricing_summary, Q_PRICING_SQL),
     "top_revenue_orders": (q_top_revenue_orders, Q_TOP_REVENUE_SQL),
     "events_hourly": (q_events_hourly, Q_EVENTS_HOURLY_SQL),
-    # -- (3) new in round 3
+    # -- (3) new this round (web-corpus operators)
+    "url_canonical": (q_url_canonical, Q_URL_CANONICAL_SQL),
+    "pii_scrub": (q_pii_scrub, Q_PII_SCRUB_SQL),
+    "lm_score": (q_lm_score, Q_LM_SCORE_SQL),
+    # -- (3b) new in round 3
     "embedding_roundtrip": (q_embedding_roundtrip, Q_EMBEDDING_ROUNDTRIP_SQL),
     "er_block_keys_2gram": (q_er_block_keys_2gram, Q_ER_BLOCK_KEYS_2GRAM_SQL),
     "segment_dedup": (q_segment_dedup, Q_SEGMENT_DEDUP_SQL),

@@ -1,0 +1,87 @@
+"""Web-corpus operators: URL canonicalization, PII scrub, unigram LM score."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from entity_matchers_spark.operators.web import (
+    canonicalize_urls,
+    pii_scrub,
+    unigram_lm_scores,
+    url_duplicates,
+)
+
+
+def test_canonicalize_urls_rules(spark):
+    cases = [
+        # (raw, canonical)
+        ("HTTPS://WWW.Example.COM:443/A/", "https://example.com/A"),
+        ("http://example.com:80/", "http://example.com/"),
+        ("http://example.com:8080/x", "http://example.com:8080/x"),
+        ("https://sub.Example.com/p?utm_source=a&q=1&fbclid=zz#frag",
+         "https://sub.example.com/p?q=1"),
+        ("https://example.com/p?utm_sourcery=keepme", "https://example.com/p?utm_sourcery=keepme"),
+        ("http://example.com", "http://example.com/"),
+        ("https://example.com/?gclid=1", "https://example.com/"),
+        ("http://www.news.example.co/Path/Sub/?b=2&a=1", "http://news.example.co/Path/Sub?b=2&a=1"),
+    ]
+    df = spark.createDataFrame([(i, r) for i, (r, _) in enumerate(cases)], "id long, url string")
+    got = {r["id"]: r["url_canon"] for r in canonicalize_urls(df).collect()}
+    for i, (_, want) in enumerate(cases):
+        assert got[i] == want, f"case {i}: {got[i]!r} != {want!r}"
+
+
+def test_canonicalize_domain(spark):
+    df = spark.createDataFrame(
+        [(0, "https://www.a.b.example.org/x"), (1, "http://example.com/")],
+        "id long, url string",
+    )
+    rows = {r["id"]: r["domain"] for r in canonicalize_urls(df).collect()}
+    assert rows == {0: "example.org", 1: "example.com"}
+
+
+def test_url_duplicates_collapses_variants(spark):
+    df = spark.createDataFrame(
+        [
+            (0, "https://example.com/a"),
+            (1, "HTTPS://WWW.example.com:443/a/#x"),
+            (2, "https://example.com/a?utm_source=rss"),
+            (3, "https://example.com/b"),
+        ],
+        "id long, url string",
+    )
+    rows = {r["id"]: r["n_same_url"] for r in url_duplicates(df).collect()}
+    assert rows == {0: 3, 1: 3, 2: 3, 3: 1}
+
+
+def test_pii_scrub_counts_and_redaction(spark):
+    df = spark.createDataFrame(
+        [
+            (0, "write to a.b+c@mail.example.org or admin@ex.net thanks"),
+            (1, "server 192.168.0.1 and 10.0.255.7 up"),
+            (2, "call +447946012345 today"),
+            (3, "nothing to see here 1.2.3 (not an ip) user at example dot com"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["id"]: r for r in pii_scrub(df).collect()}
+    assert (rows[0]["n_email"], rows[0]["n_ipv4"], rows[0]["n_phone"]) == (2, 0, 0)
+    assert rows[0]["clean_text"] == "write to <EMAIL> or <EMAIL> thanks"
+    assert (rows[1]["n_email"], rows[1]["n_ipv4"]) == (0, 2)
+    assert rows[1]["clean_text"] == "server <IPV4> and <IPV4> up"
+    assert rows[2]["n_phone"] == 1
+    assert rows[2]["clean_text"] == "call <PHONE> today"
+    assert (rows[3]["n_email"], rows[3]["n_ipv4"], rows[3]["n_phone"]) == (0, 0, 0)
+
+
+def test_unigram_lm_scores_hand_check(spark):
+    # corpus: "a a b" + "a c" -> counts a=3, b=1, c=1, total=5
+    df = spark.createDataFrame([(0, "a a b"), (1, "a c")], "doc_id long, text string")
+    rows = {r["id"]: r for r in unigram_lm_scores(df).collect()}
+    lp = lambda c: math.log(c / 5.0)
+    assert rows[0]["n_tokens"] == 3
+    assert abs(rows[0]["mean_logprob"] - round((2 * lp(3) + lp(1)) / 3, 6)) < 1e-9
+    assert rows[1]["n_tokens"] == 2
+    assert abs(rows[1]["mean_logprob"] - round((lp(3) + lp(1)) / 2, 6)) < 1e-9
