@@ -73,6 +73,9 @@ def _probe_scoring(master: str, sf_dir: str, repeats: int) -> dict:
     from entity_matchers_spark.session import get_spark
 
     spark = get_spark(app_name=f"bench-probe-{master}", master=master)
+    from entity_matchers_spark.session import warmup_python_workers
+
+    warmup_python_workers(spark)
     docs = Q._docs(spark, sf_dir)
     blocks = Q._er_spark_blocks(spark, sf_dir)
     pairs = blocking.candidate_pairs(blocks, max_block_size=Q.ER_CAP)
@@ -240,9 +243,13 @@ def main() -> None:
         except (json.JSONDecodeError, IndexError, KeyError):
             peak_pps = scaling.get("pairs_per_sec_hi")
 
-    from entity_matchers_spark.session import get_spark
+    from entity_matchers_spark.session import get_spark, warmup_python_workers
 
     spark = get_spark(app_name="bench", master=f"local[{args.cpus}]")
+    # Untimed session setup: pre-fault each Python worker's numpy arena so
+    # the first UDF-heavy registry query doesn't absorb the host's one-time
+    # page-fault storm (see session.warmup_python_workers).
+    warmup_python_workers(spark)
     t0 = time.time()
     times = run_registry(spark, args.sf_dir)
     total = round(time.time() - t0, 3)

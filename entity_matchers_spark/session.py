@@ -46,17 +46,94 @@ def get_spark(
         .config("spark.sql.files.maxPartitionBytes", "32m")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # Small Arrow batches: the vectorized UDF kernels allocate ~10-30x
+        # the batch's bytes in numpy temporaries; at 10k rows that is
+        # ~300 MB per worker per batch and on hosts with slow first-touch
+        # faults (this sandbox: ~40 MB/s under concurrent mmap_lock
+        # pressure) the fault storm dwarfs compute — measured 76 s -> 4.2 s
+        # on a 105k-pair scoring stage by dropping 10000 -> 2048. Warm
+        # throughput is unchanged (kernels are C-speed either way).
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         # local mode: driver == executor — size the heap for all cores
         # (32 threads on 8g thrash GC and flatten the core-count scaling)
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
+        # Heap sizing against slow-first-touch hosts (memory-overcommitted
+        # VMs: high %sys + steal, kcompactd churn; measured fault-in at
+        # ~40 MB/s under concurrency). Two failure modes bracket the choice:
+        # a small heap (8g) thrashes GC at 32 threads; a huge pinned heap
+        # (Xms48g) makes G1 size a ~29 GB young gen whose first-touch
+        # zeroing took a 4-core probe from 206 s to 29 min. 16g pinned is
+        # the measured sweet spot: the whole heap faults in once (~GBs),
+        # G1 never uncommits (uncommit → refault storm turned a 4 s scoring
+        # stage into 90-180 s, non-deterministically), young gen stays
+        # bounded. On a real cluster with healthy kernels this is simply a
+        # sane executor heap.
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "12g"))
+        # First-touch page faults on this class of host (memory-
+        # overcommitted VM: high %sys + steal, kcompactd churn) run as slow
+        # as ~40 MB/s under concurrency, and G1 both lazily faults pages in
+        # AND uncommits idle heap (refaulting it later) — measured as the
+        # same 105k-pair scoring stage swinging 4 s ↔ 180 s run-to-run.
+        # Three levers, all load-bearing:
+        #   -Xms pinned   → every page faults at most once per session;
+        #   THP (madvise) → 512× fewer faults (2 MB granularity) when the
+        #                   kernel can supply huge pages;
+        #   12g, not 48g  → bounds the unique pages a session can ever
+        #                   touch (G1 rotates young regions across the
+        #                   whole committed heap); 8g thrashes GC at 32
+        #                   threads, 48g made G1 zero a ~29 GB young gen.
+        # Measured with this config (quiet phase): blocks 9.6 s / pairs
+        # 7.6 s / scores 7.1 s first-execution, ~3-7 s warm. On a cluster
+        # put the same flags in spark.executor.defaultJavaOptions.
+        .config(
+            "spark.driver.extraJavaOptions",
+            f"-Xms{os.environ.get('SPARK_DRIVER_MEM', '12g')} "
+            "-XX:+UseTransparentHugePages",
+        )
+        # Python workers (not the JVM): keep glibc from munmapping freed
+        # kernel buffers so Arrow-batch temporaries are faulted once per
+        # worker and reused, instead of refaulted per batch. Reaches
+        # local-mode workers too (verified: executorEnv is part of the
+        # python worker env).
+        .config("spark.executorEnv.MALLOC_MMAP_THRESHOLD_", str(1 << 30))
+        .config("spark.executorEnv.MALLOC_TRIM_THRESHOLD_", "-1")
+        # ... and fault what they do allocate as 2 MB huge pages (glibc
+        # madvises THP for its arenas) — same 512× fault-count cut for the
+        # numpy temporaries as UseTransparentHugePages gives the JVM heap.
+        .config("spark.executorEnv.GLIBC_TUNABLES", "glibc.malloc.hugetlb=1")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()
+
+
+def warmup_python_workers(spark: SparkSession, mb_per_worker: int = 96) -> None:
+    """Pre-fault each Python worker's numpy arena before heavy UDF stages.
+
+    On hosts with slow first-touch page faults, the FIRST vectorized-UDF
+    batch per worker pays the whole fault cost of its numpy temporaries,
+    and all workers faulting at once serialize on the kernel's mmap_lock —
+    measured here as a 105k-pair scoring stage running 55-90 s when it is
+    the session's first UDF stage vs 6-10 s afterwards. One warmup task per
+    core touches ``mb_per_worker`` of pages per worker up front (kept by
+    the MALLOC_TRIM pin above), so real stages start warm. On a healthy
+    kernel this is ~100 ms of memset per executor core — harmless.
+    """
+    n = spark.sparkContext.defaultParallelism
+
+    def _touch(it):
+        import numpy as np
+
+        for _ in it:
+            # a few distinct sizes so glibc's bins cover the kernels' shapes
+            for size_mb in (mb_per_worker // 2, mb_per_worker // 4, mb_per_worker // 4):
+                a = np.ones((size_mb, 1 << 20), dtype=np.int8)  # size_mb MB, touched
+                del a
+        yield 0
+
+    spark.sparkContext.parallelize(range(n), n).mapPartitions(_touch).count()
 
 
 def default_partitions(spark: SparkSession) -> int:
