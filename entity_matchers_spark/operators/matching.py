@@ -216,6 +216,112 @@ def stable_marriage(
     return engaged.select("id_a", "id_b", score_col)
 
 
+def stable_marriage_components(
+    scored: DataFrame,
+    score_col: str = "score",
+    max_component: int = 65536,
+) -> DataFrame:
+    """Suitor-optimal stable matching, decomposed over connected components.
+
+    Produces the SAME matching as :func:`stable_marriage` (deferred
+    acceptance is proposal-order invariant and strictly component-local:
+    a suitor's proposals can only ever reach reviewers in their own
+    component of the bipartite candidate graph, so the suitor-optimal
+    matching is the disjoint union of the per-component ones), but solves
+    it with ONE hash-min connected-components pass plus one sequential
+    Gale-Shapley per component inside ``applyInPandas`` — collapsing the
+    round-based loop's O(longest trade-up chain) scheduler round-trips
+    (~20 jobs at sf0.1) into two shuffles. Reference semantics:
+    ``stable_alignment`` + ``galeshapley``
+    (/root/reference/OpenEA_Mod/src/openea/modules/finding/alignment.py:
+    92-148,180-233); same tie-break (score desc, partner id asc).
+
+    After a working blocking stage components are tiny — the identical
+    argument (and code shape) as :func:`mwgm_exact`. Components larger
+    than ``max_component`` nodes are routed to the round-based
+    :func:`stable_marriage` loop, which handles any size in bounded
+    per-round memory: one pathological block degrades locally instead of
+    OOMing an executor or aborting the job.
+    """
+    import pandas as pd
+
+    from entity_matchers_spark.operators.clustering import connected_components
+
+    edges = scored.select(
+        "id_a", "id_b", F.col(score_col).alias("score")
+    ).withColumn("u", F.concat(F.lit("A:"), F.col("id_a").cast("string")))
+    comp = connected_components(
+        edges.withColumn("v", F.concat(F.lit("B:"), F.col("id_b").cast("string"))),
+        src="u",
+        dst="v",
+    )
+    sizes = comp.groupBy("cluster_id").agg(F.count("*").alias("_csz"))
+    pairs = (
+        edges.join(comp.withColumnRenamed("id", "u"), "u")
+        .drop("u")
+        .join(sizes, "cluster_id")
+    )
+    out_schema = pairs.select("id_a", "id_b", "score").schema
+
+    def solve(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        la, ia = np.unique(pdf["id_a"].to_numpy(), return_inverse=True)
+        lb, ib = np.unique(pdf["id_b"].to_numpy(), return_inverse=True)
+        s = pdf["score"].to_numpy(dtype=np.float64)
+        m = s.size
+        # Suitor preference lists: edges grouped by suitor, each group
+        # ordered (score desc, reviewer id asc) — one stable lexsort.
+        order_a = np.lexsort((ib, -s, ia))
+        ga = ia[order_a]
+        astarts = np.r_[0, np.flatnonzero(ga[1:] != ga[:-1]) + 1]
+        aends = np.r_[astarts[1:], m]
+        # Reviewer ranks: position of each edge within its reviewer's
+        # (score desc, suitor id asc) ordering.
+        order_b = np.lexsort((ia, -s, ib))
+        gb = ib[order_b]
+        bstarts = np.r_[0, np.flatnonzero(gb[1:] != gb[:-1]) + 1]
+        blens = np.diff(np.r_[bstarts, m])
+        rank_b = np.empty(m, dtype=np.int64)
+        rank_b[order_b] = np.arange(m) - np.repeat(bstarts, blens)
+        # Deferred acceptance: each proposal consumes one list entry, so
+        # the loop is O(edges) for the whole component — per-row Python is
+        # fine here because max_component bounds the component.
+        ptr = astarts.copy()
+        cur_edge = np.full(lb.size, -1, dtype=np.int64)
+        free = list(range(la.size))
+        while free:
+            a = free.pop()
+            while ptr[a] < aends[a]:
+                e = order_a[ptr[a]]
+                ptr[a] += 1
+                b = ib[e]
+                ce = cur_edge[b]
+                if ce < 0:
+                    cur_edge[b] = e
+                    break
+                if rank_b[e] < rank_b[ce]:
+                    cur_edge[b] = e
+                    free.append(ia[ce])
+                    break
+            # list exhausted -> suitor stays unmatched
+        matched = cur_edge[cur_edge >= 0]
+        return pd.DataFrame(
+            {"id_a": la[ia[matched]], "id_b": lb[ib[matched]], "score": s[matched]}
+        )
+
+    small = pairs.where(F.col("_csz") <= max_component)
+    out = small.groupBy("cluster_id").applyInPandas(solve, out_schema)
+    big = pairs.where(F.col("_csz") > max_component)
+    if big.limit(1).count() > 0:
+        out = out.unionByName(
+            stable_marriage(big.select("id_a", "id_b", "score"), score_col="score")
+        )
+    if score_col != "score":
+        out = out.withColumnRenamed("score", score_col)
+    return out.select("id_a", "id_b", score_col)
+
+
 def resolve_conflicts(
     prev: DataFrame, new: DataFrame, score_col: str = "score"
 ) -> DataFrame:

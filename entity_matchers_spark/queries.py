@@ -2089,7 +2089,10 @@ FROM gold_ranked
 
 def q_er_stable_marriage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Suitor-optimal stable matching over the blocked candidate scores
-    (distributed Gale–Shapley, alignment.py:92-148,180-233 semantics).
+    (Gale–Shapley, alignment.py:92-148,180-233 semantics), decomposed over
+    connected components of the candidate graph: one CC pass + one
+    sequential deferred-acceptance solve per component in applyInPandas,
+    with oversized components routed to the round-based distributed loop.
 
     No SQL oracle: deferred acceptance is inherently iterative (DuckDB 1.0
     has no updatable recursive CTE), so the driver records the weaker
@@ -2097,7 +2100,7 @@ def q_er_stable_marriage(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_matching_clustering.py against an independent dict-based
     Gale–Shapley plus a no-blocking-pair stability invariant."""
     scored = _er_spark_scores(spark, sf_dir)
-    return matching.stable_marriage(scored).select("id_a", "id_b", "score")
+    return matching.stable_marriage_components(scored).select("id_a", "id_b", "score")
 
 
 def q_er_mwgm_exact(spark: SparkSession, sf_dir: str) -> DataFrame:

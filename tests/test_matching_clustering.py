@@ -214,6 +214,50 @@ def test_stable_marriage_tie_break(spark):
     assert got == {(1, 10), (2, 11)}
 
 
+def test_stable_marriage_components_matches_reference_gs(spark):
+    """The per-component solver reaches the same suitor-optimal matching as
+    the independent dict-based Gale-Shapley (and hence as the round-based
+    ``stable_marriage`` — the matching is unique given the preferences)."""
+    from entity_matchers_spark.operators.matching import stable_marriage_components
+
+    import random
+
+    rng = random.Random(11037)
+    pairs = []
+    seen = set()
+    for _ in range(400):
+        a, b = rng.randrange(40), 100 + rng.randrange(40)
+        if (a, b) in seen:
+            continue
+        seen.add((a, b))
+        pairs.append((a, b, round(rng.random(), 6)))
+    scored = _scores(spark, pairs)
+    got = {(r.id_a, r.id_b) for r in stable_marriage_components(scored).collect()}
+    assert got == _gs_reference(pairs)
+
+
+def test_stable_marriage_components_oversize_fallback(spark):
+    """Components above max_component route through the round-based loop;
+    the union still equals the reference matching (multi-component input:
+    a dense block that trips the cap plus a small separate block)."""
+    from entity_matchers_spark.operators.matching import stable_marriage_components
+
+    import random
+
+    rng = random.Random(31)
+    pairs = [
+        (a, 100 + b, round(rng.random(), 6))
+        for a in range(12)
+        for b in rng.sample(range(12), 6)
+    ] + [(50, 500, 0.9), (50, 501, 0.8), (51, 500, 0.7)]
+    scored = _scores(spark, pairs)
+    got = {
+        (r.id_a, r.id_b)
+        for r in stable_marriage_components(scored, max_component=10).collect()
+    }
+    assert got == _gs_reference(pairs)
+
+
 def _brute_force_mwgm(edges):
     """Optimal matching weight by exhaustive search (tiny instances only)."""
     best = 0.0
