@@ -150,25 +150,47 @@ def scaling_probe(sf_dir: str, lo: int, hi: int, repeats: int, rounds: int = 2) 
     best: dict[int, dict] = {}
     round_samples: list[dict[int, float]] = []
     pass_log: list[dict] = []
+    def _run_child(n: int, reps: int) -> dict | None:
+        """One probe child, retried once: a child can be lost to host-level
+        pathology unrelated to the engine (observed: the kernel collapsed a
+        loopback TCP receive buffer to ~1.8 KB mid-transfer, freezing an
+        Arrow batch until the 1800 s timeout; UDS transport removes that
+        path, but the probe must survive whatever this host does next).
+        A lost child costs its timeout, never the whole probe."""
+        for attempt in (1, 2):
+            try:
+                out = subprocess.run(
+                    [sys.executable, os.path.abspath(__file__), "--probe",
+                     f"local[{n}]", "--sf-dir", sf_dir, "--repeats", str(reps)],
+                    capture_output=True, text=True, timeout=1800, env=probe_env,
+                )
+            except subprocess.TimeoutExpired:
+                sys.stderr.write(f"probe local[{n}] attempt {attempt} timed out\n")
+                continue
+            line = out.stdout.strip().splitlines()[-1] if out.stdout.strip() else ""
+            try:
+                return json.loads(line)
+            except json.JSONDecodeError:
+                sys.stderr.write(
+                    f"probe local[{n}] attempt {attempt} failed:\n"
+                    f"{out.stdout}\n{out.stderr}\n"
+                )
+        return None
+
     for _ in range(rounds):
         samples: dict[int, float] = {}
         for n, reps in ((lo, lo_repeats), (hi, hi_repeats)):
-            out = subprocess.run(
-                [sys.executable, os.path.abspath(__file__), "--probe", f"local[{n}]",
-                 "--sf-dir", sf_dir, "--repeats", str(reps)],
-                capture_output=True, text=True, timeout=1800, env=probe_env,
-            )
-            line = out.stdout.strip().splitlines()[-1] if out.stdout.strip() else ""
-            try:
-                res = json.loads(line)
-            except json.JSONDecodeError:
-                sys.stderr.write(f"probe local[{n}] failed:\n{out.stdout}\n{out.stderr}\n")
-                return {"error": f"probe local[{n}] failed"}
+            res = _run_child(n, reps)
+            if res is None:
+                continue  # round proceeds on the samples that exist
             samples[n] = res["pairs_per_sec"]
             pass_log.append({"cores": n, "pass_s": res.get("pass_s", [res["elapsed_s"]])})
             if n not in best or res["pairs_per_sec"] > best[n]["pairs_per_sec"]:
                 best[n] = res
         round_samples.append(samples)
+    if lo not in best or hi not in best:
+        return {"error": f"probe has no successful sample at local[{lo if lo not in best else hi}]",
+                "pass_log": pass_log}
     # Efficiency = ratio of each level's BEST observed throughput across
     # all passes/rounds. Both levels sample a deterministic job under
     # one-sided external noise (interference only ever slows a pass down),
@@ -180,7 +202,9 @@ def scaling_probe(sf_dir: str, lo: int, hi: int, repeats: int, rounds: int = 2) 
     # reported a superlinear 1.20 — both artifacts of one-sided pairing,
     # not the engine. Per-round ratios are still reported for audit.
     per_round_eff = [
-        round((s[hi] / s[lo]) / (hi / lo), 3) for s in round_samples if s[lo]
+        round((s[hi] / s[lo]) / (hi / lo), 3)
+        for s in round_samples
+        if s.get(lo) and s.get(hi)
     ]
     thr_lo = best[lo]["pairs_per_sec"]
     thr_hi = best[hi]["pairs_per_sec"]
@@ -192,7 +216,7 @@ def scaling_probe(sf_dir: str, lo: int, hi: int, repeats: int, rounds: int = 2) 
         "pairs_per_sec_lo": thr_lo,
         "pairs_per_sec_hi": thr_hi,
         "samples": [
-            {"lo": s[lo], "hi": s[hi]} for s in round_samples
+            {"lo": s.get(lo), "hi": s.get(hi)} for s in round_samples
         ],
         "pass_log": pass_log,
         "efficiency_per_round": per_round_eff,
@@ -232,15 +256,17 @@ def main() -> None:
         scaling = scaling_probe(args.sf_dir, lo, hi, args.repeats)
         # headline throughput at FULL width (all cores) — the scaling pair
         # deliberately stops at cpus/2, so measure peak separately
-        out = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--probe", f"local[{args.cpus}]",
-             "--sf-dir", args.sf_dir, "--repeats", str(max(3, args.repeats))],
-            capture_output=True, text=True, timeout=1800,
-        )
         try:
+            out = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--probe", f"local[{args.cpus}]",
+                 "--sf-dir", args.sf_dir, "--repeats", str(max(3, args.repeats))],
+                capture_output=True, text=True, timeout=1800,
+            )
             peak = json.loads(out.stdout.strip().splitlines()[-1])
             peak_pps = peak["pairs_per_sec"]
-        except (json.JSONDecodeError, IndexError, KeyError):
+        except (subprocess.TimeoutExpired, json.JSONDecodeError, IndexError, KeyError):
+            # a lost peak child degrades to the widest scaling sample —
+            # the bench always emits its JSON line
             peak_pps = scaling.get("pairs_per_sec_hi")
 
     from entity_matchers_spark.session import get_spark, warmup_python_workers

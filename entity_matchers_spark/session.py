@@ -101,6 +101,20 @@ def get_spark(
         # madvises THP for its arenas) — same 512× fault-count cut for the
         # numpy temporaries as UseTransparentHugePages gives the JVM heap.
         .config("spark.executorEnv.GLIBC_TUNABLES", "glibc.malloc.hugetlb=1")
+        # JVM <-> Python-worker transport over Unix domain sockets
+        # (Spark 4.1+). The channel is same-host by construction (each
+        # executor forks its own workers), so UDS is strictly better than
+        # loopback TCP: no window/congestion machinery to misbehave.
+        # Observed here: the kernel collapsed a loopback connection's
+        # receive buffer to ~1.8 KB mid-stage (rwnd_limited 98.8%,
+        # retransmits + reordering on lo), freezing an Arrow transfer at
+        # ~2 KB/RTT until the probe's 1800 s timeout killed it. AF_UNIX
+        # has no receive window, so the failure mode is structurally gone.
+        # SPARK_GRAFT_NO_UDS=1 restores TCP (escape hatch).
+        .config(
+            "spark.python.unix.domain.socket.enabled",
+            "false" if os.environ.get("SPARK_GRAFT_NO_UDS") else "true",
+        )
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
     )
