@@ -122,3 +122,126 @@ def domain_cap(
         .where(F.col("_rk") <= max_per_key)
         .drop("_rk")
     )
+
+
+# --- DSIR importance resampling -------------------------------------------------
+
+
+def hashed_ngram_buckets(text_col: Column | str, buckets: int) -> Column:
+    """Hashed n-gram features (DSIR, Xie et al. 2023, arXiv:2302.03169):
+    token unigrams + bigrams, each hashed into one of ``buckets`` integer
+    buckets. Returns one bucket id per feature OCCURRENCE (counts matter,
+    so no dedup). md5-derived, hence engine-reproducible in the oracle as
+    ``('0x'||substr(md5(g),1,8))::UBIGINT::BIGINT % buckets``."""
+    from entity_matchers_spark.functions.shingles import token_shingles, tokens
+
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    grams = F.concat(tokens(c), token_shingles(c, n=2, distinct=False))
+    return F.transform(
+        grams,
+        lambda g: F.pmod(
+            F.conv(F.substring(F.md5(g), 1, 8), 16, 10).cast("long"), F.lit(buckets)
+        ).cast("int"),
+    )
+
+
+def dsir_weights(
+    raw: DataFrame,
+    target: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    buckets: int = 4096,
+) -> DataFrame:
+    """(id, n_feats, logw): per-raw-doc DSIR importance weight
+    ``log w(x) = Σ_b n_b(x) · (log p_b − log q_b)`` where p/q are add-1-
+    smoothed bag-of-hashed-ngram models fit on the target / raw corpus.
+
+    High logw = "looks like the target distribution" — the data-selection
+    score used to pick pretraining data matching a high-quality target
+    (DSIR §3; the hashed-ngram generative model makes fitting two corpora
+    a pair of bucket-count aggregations).
+
+    Scale shape: both models are ``buckets`` rows (a constant, ~10^4),
+    aggregated with map-side partial combine from one explode each —
+    nothing grows with corpus size except the two linear scans. The
+    per-bucket log-ratio table is broadcast back onto the raw side's
+    exploded features; the final per-doc sum is one partial-aggregated
+    shuffle on doc id. At 10^12 docs every stage is linear and the only
+    state is 2·buckets counters.
+    """
+    raw_feats = raw.select(
+        F.col(id_col).alias("id"),
+        F.explode(hashed_ngram_buckets(F.col(text_col), buckets)).alias("b"),
+    )
+    tgt_feats = target.select(
+        F.explode(hashed_ngram_buckets(F.col(text_col), buckets)).alias("b")
+    )
+    raw_cnt = raw_feats.groupBy("b").agg(F.count("*").alias("cq"))
+    tgt_cnt = tgt_feats.groupBy("b").agg(F.count("*").alias("cp"))
+    spark = raw.sparkSession
+    all_b = spark.range(buckets).select(F.col("id").cast("int").alias("b"))
+    model = (
+        all_b.join(tgt_cnt, "b", "left")
+        .join(raw_cnt, "b", "left")
+        .select(
+            "b",
+            F.coalesce("cp", F.lit(0)).alias("cp"),
+            F.coalesce("cq", F.lit(0)).alias("cq"),
+        )
+    )
+    totals = model.agg(F.sum("cp").alias("np"), F.sum("cq").alias("nq"))
+    ratio = model.crossJoin(F.broadcast(totals)).select(
+        "b",
+        (
+            F.log((F.col("cp") + 1).cast("double") / (F.col("np") + buckets).cast("double"))
+            - F.log((F.col("cq") + 1).cast("double") / (F.col("nq") + buckets).cast("double"))
+        ).alias("lr"),
+    )
+    per_doc = (
+        raw_feats.join(F.broadcast(ratio), "b")
+        .groupBy("id")
+        .agg(F.count("*").alias("n_feats"), F.sum("lr").alias("logw"))
+    )
+    return (
+        raw.select(F.col(id_col).alias("id"))
+        .join(per_doc, "id", "left")
+        .select(
+            "id",
+            F.coalesce("n_feats", F.lit(0)).alias("n_feats"),
+            F.coalesce("logw", F.lit(0.0)).alias("logw"),
+        )
+    )
+
+
+def dsir_resample(
+    raw: DataFrame,
+    target: DataFrame,
+    k: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    buckets: int = 4096,
+    salt: str = "dsir:",
+) -> DataFrame:
+    """(id, n_feats, logw, gumbel, key): Gumbel-top-k sample of ``k`` raw
+    docs ∝ their DSIR importance weights — sampling without replacement as
+    one global top-k (Gumbel-max trick: argtop-k of logw + Gumbel noise is
+    distributed as weighted sampling without replacement).
+
+    The Gumbel draw is the deterministic md5-uniform (retry-stable,
+    oracle-replayable): ``g = -log(-log(u))`` with u floored at 1e-12.
+    The ranking key is rounded to 6 dp BEFORE comparison so both engines
+    rank identically despite non-associative float sums; ties break on id.
+    ``orderBy().limit(k)`` is Spark's distributed TakeOrdered — per-
+    partition partial top-k then a k-row reduce, no global sort.
+    """
+    w = dsir_weights(raw, target, id_col=id_col, text_col=text_col, buckets=buckets)
+    u = hash_uniform(F.col("id"), salt)
+    g = -F.log(-F.log(F.greatest(u, F.lit(1e-12))))
+    keyed = w.select(
+        "id",
+        "n_feats",
+        F.round("logw", 6).alias("logw"),
+        F.round(g, 6).alias("gumbel"),
+        F.round(F.col("logw") + g, 6).alias("key"),
+    )
+    return keyed.orderBy(F.col("key").desc(), F.col("id").asc()).limit(k)

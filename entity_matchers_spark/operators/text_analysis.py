@@ -230,6 +230,82 @@ def contamination_flags(
     )
 
 
+def remove_dup_passages(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 13,
+) -> DataFrame:
+    """Exact duplicated-passage REMOVAL (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better" — the rewrite counterpart
+    of ``dup_passage_stats``): every corpus-duplicated token ``n``-gram
+    occurrence is removed except its globally-first occurrence (keeper =
+    min (doc_id, start) per gram), and the doc is re-emitted without the
+    covered tokens.
+
+    Returns (id, n_tokens, n_removed, clean_text) where ``clean_text`` is
+    the normalized (lowercased, single-space) token stream minus removed
+    spans — normalization is inherent to token-level dedup; the original
+    byte stream stays in the source table.
+
+    Scale shape: one posexplode to gram occurrences (hashed to longs
+    map-side), one groupBy(gram) for (count, keeper), one join back, one
+    collect_list(start) per doc — all bounded equi-shuffles, nothing
+    pairwise. The final rewrite is a pure per-row expression: token j is
+    kept iff no removable start s satisfies s <= j < s+n (O(tokens ×
+    removable-spans) per doc, spans are few for real docs). Keeper choice
+    is deterministic, so retries and both engines agree.
+    """
+    from entity_matchers_spark.functions.shingles import tokens
+
+    docs = df.select(F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("ts"))
+    grams = F.when(
+        F.size("ts") < n, F.array().cast("array<string>")
+    ).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), F.size("ts") - n + 1),
+            lambda i: F.concat_ws(" ", F.slice("ts", i, n)),
+        )
+    )
+    occ = docs.select(
+        "id", F.posexplode(grams).alias("p0", "gram")
+    ).select(
+        "id",
+        (F.col("p0") + 1).alias("s"),
+        F.conv(F.substring(F.md5("gram"), 1, 8), 16, 10).cast("long").alias("g"),
+    )
+    keepers = occ.groupBy("g").agg(
+        F.count("*").alias("c"),
+        F.min(F.struct(F.col("id").alias("d"), F.col("s").alias("p"))).alias("kp"),
+    )
+    removable = (
+        occ.join(keepers, "g")
+        .where(
+            (F.col("c") >= 2)
+            & ~((F.col("id") == F.col("kp.d")) & (F.col("s") == F.col("kp.p")))
+        )
+        .select("id", "s")
+    )
+    starts = removable.groupBy("id").agg(F.sort_array(F.collect_list("s")).alias("starts"))
+    joined = docs.join(starts, "id", "left").select(
+        "id", "ts", F.coalesce("starts", F.array().cast("array<int>")).alias("starts")
+    )
+    # sequence(1, 0) counts DOWN in Spark — guard the empty-token case.
+    idx = F.when(F.size("ts") == 0, F.array().cast("array<int>")).otherwise(
+        F.sequence(F.lit(1), F.size("ts"))
+    )
+    kept_idx = F.filter(
+        idx, lambda j: ~F.exists("starts", lambda s: (s <= j) & (j < s + n))
+    )
+    kept = F.transform(kept_idx, lambda j: F.element_at("ts", j))
+    return joined.select(
+        "id",
+        F.size("ts").alias("n_tokens"),
+        (F.size("ts") - F.size(kept)).alias("n_removed"),
+        F.array_join(kept, " ").alias("clean_text"),
+    )
+
+
 def dup_passage_stats(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -923,6 +923,98 @@ SELECT doc_id, lang, source FROM (
 """
 
 
+DSIR_BUCKETS = 512
+DSIR_K = 40
+
+
+def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR data selection (Xie et al. 2023): importance weight per raw doc
+    under add-1-smoothed hashed-ngram (uni+bi) models of the target
+    (lang='en') vs raw (everything else) corpora, plus the Gumbel-top-k
+    selection flag — deterministic md5-Gumbel noise, key rounded to 6 dp so
+    both engines rank identically, ties on id."""
+    from entity_matchers_spark.operators.sampling import dsir_weights, hash_uniform
+
+    docs = _docs(spark, sf_dir)
+    target = docs.where(F.col("lang") == "en")
+    raw = docs.where(F.col("lang") != "en")
+    w = dsir_weights(raw, target, buckets=DSIR_BUCKETS)
+    u = hash_uniform(F.col("id"), "dsir:")
+    g = -F.log(-F.log(F.greatest(u, F.lit(1e-12))))
+    keyed = w.withColumn("key", F.round(F.col("logw") + g, 6))
+    sel = (
+        keyed.orderBy(F.col("key").desc(), F.col("id").asc())
+        .limit(DSIR_K)
+        .select(F.col("id").alias("sid"))
+    )
+    return (
+        keyed.join(F.broadcast(sel), keyed["id"] == F.col("sid"), "left")
+        .select(
+            "id",
+            "n_feats",
+            F.round("logw", 6).alias("logw"),
+            F.col("sid").isNotNull().cast("int").alias("selected"),
+        )
+    )
+
+
+_DSIR_GUMBEL_SQL = (
+    "-ln(-ln(greatest("
+    + _HASH_U_SQL.format(salt="dsir:", col="id")
+    + ", 1e-12)))"
+)
+
+Q_DSIR_SELECT_SQL = f"""
+WITH tok AS MATERIALIZED (
+  SELECT doc_id, lang,
+         list_filter(string_split_regex(lower(text), '\\s+'), x -> x != '') AS ts
+  FROM documents
+),
+fb AS MATERIALIZED (
+  SELECT doc_id, lang,
+         ('0x'||substr(md5(gr),1,8))::UBIGINT::BIGINT % {DSIR_BUCKETS} AS b
+  FROM (
+    SELECT doc_id, lang,
+           unnest(ts || [ts[i] || ' ' || ts[i+1] for i in range(1, len(ts))]) AS gr
+    FROM tok
+  )
+),
+cp AS (SELECT b, count(*) AS cp FROM fb WHERE lang = 'en' GROUP BY b),
+cq AS (SELECT b, count(*) AS cq FROM fb WHERE lang <> 'en' GROUP BY b),
+model AS MATERIALIZED (
+  SELECT r.b, coalesce(cp, 0) AS cp, coalesce(cq, 0) AS cq
+  FROM (SELECT unnest(range({DSIR_BUCKETS})) AS b) r
+  LEFT JOIN cp ON r.b = cp.b LEFT JOIN cq ON r.b = cq.b
+),
+tot AS (SELECT sum(cp) AS np, sum(cq) AS nq FROM model),
+ratio AS MATERIALIZED (
+  SELECT b, ln((cp+1) / (np+{DSIR_BUCKETS})::DOUBLE)
+            - ln((cq+1) / (nq+{DSIR_BUCKETS})::DOUBLE) AS lr
+  FROM model, tot
+),
+w AS MATERIALIZED (
+  SELECT d.doc_id AS id,
+         coalesce(p.n_feats, 0)::BIGINT AS n_feats,
+         coalesce(p.logw, 0.0) AS logw
+  FROM documents d
+  LEFT JOIN (
+    SELECT f.doc_id, count(*) AS n_feats, sum(r.lr) AS logw
+    FROM fb f JOIN ratio r ON f.b = r.b
+    WHERE f.lang <> 'en' GROUP BY f.doc_id
+  ) p ON d.doc_id = p.doc_id
+  WHERE d.lang <> 'en'
+),
+sel AS (
+  SELECT id FROM (
+    SELECT id, round(logw + {_DSIR_GUMBEL_SQL}, 6) AS key FROM w
+  ) ORDER BY key DESC, id ASC LIMIT {DSIR_K}
+)
+SELECT w.id, w.n_feats, round(w.logw, 6) AS logw,
+       CASE WHEN s.id IS NULL THEN 0 ELSE 1 END AS selected
+FROM w LEFT JOIN sel s ON w.id = s.id
+"""
+
+
 def q_dup_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-internal duplicated-passage fraction per doc: share of the
     doc's distinct token 13-grams occurring in >=2 docs (RefinedWeb-style
@@ -958,6 +1050,57 @@ SELECT d.doc_id, coalesce(p.n_grams, 0) AS n_grams,
        round(CASE WHEN coalesce(p.n_grams, 0) <= 0 THEN 0.0
                   ELSE p.n_dup / p.n_grams::DOUBLE END, 9) AS dup_frac
 FROM documents d LEFT JOIN per_doc p ON d.doc_id = p.doc_id
+"""
+
+
+def q_passage_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicated-passage removal (Lee et al. 2022): every corpus-
+    duplicated token 13-gram occurrence is cut except its globally-first
+    occurrence; docs are re-emitted as the kept token stream."""
+    from entity_matchers_spark.operators.text_analysis import remove_dup_passages
+
+    return remove_dup_passages(_docs(spark, sf_dir), n=DUP_PASSAGE_N).select(
+        F.col("id").alias("doc_id"), "n_tokens", "n_removed", "clean_text"
+    )
+
+
+Q_PASSAGE_REMOVAL_SQL = f"""
+WITH tok AS MATERIALIZED (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\\s+'), x -> x != '') AS ts
+  FROM documents
+),
+occ AS MATERIALIZED (
+  SELECT doc_id, s,
+         ('0x'||substr(md5(array_to_string(ts[s:s+{DUP_PASSAGE_N - 1}], ' ')),1,8))::UBIGINT::BIGINT AS g
+  FROM (
+    SELECT doc_id, ts,
+           unnest(range(1, greatest(len(ts) - {DUP_PASSAGE_N - 1}, 0) + 1)) AS s
+    FROM tok
+  )
+),
+k AS MATERIALIZED (
+  SELECT g, count(*) AS c, min({{'d': doc_id, 'p': s}}) AS kp FROM occ GROUP BY g
+),
+rem AS MATERIALIZED (
+  SELECT o.doc_id, o.s
+  FROM occ o JOIN k ON o.g = k.g
+  WHERE k.c >= 2 AND NOT (o.doc_id = k.kp.d AND o.s = k.kp.p)
+),
+st AS MATERIALIZED (
+  SELECT doc_id, list(s ORDER BY s) AS starts FROM rem GROUP BY doc_id
+),
+rw AS (
+  SELECT t.doc_id, t.ts, coalesce(st.starts, []) AS starts,
+         [t.ts[j] for j in range(1, len(t.ts) + 1)
+          if len(list_filter(coalesce(st.starts, []),
+                             s -> s <= j and j < s + {DUP_PASSAGE_N})) = 0] AS kept
+  FROM tok t LEFT JOIN st ON t.doc_id = st.doc_id
+)
+SELECT doc_id, len(ts) AS n_tokens,
+       len(ts) - len(kept) AS n_removed,
+       coalesce(array_to_string(kept, ' '), '') AS clean_text
+FROM rw
 """
 
 
@@ -3393,6 +3536,9 @@ GROUP BY doc_id
 # were driver-green in BOTH round 1 and round 2 with unchanged
 # implementations — leaving them outside the cap loses no information.
 QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
+    # -- (0) new in this round-3 session
+    "dsir_select": (q_dsir_select, Q_DSIR_SELECT_SQL),
+    "passage_removal": (q_passage_removal, Q_PASSAGE_REMOVAL_SQL),
     # -- (1) never driver-verified before round 3
     "frame_sample": (q_frame_sample, Q_FRAME_SAMPLE_SQL),
     "degree_guided_sample": (q_degree_guided_sample, Q_DEGREE_SAMPLE_SQL),

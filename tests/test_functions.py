@@ -463,6 +463,66 @@ def test_domain_cap_bounds_and_determinism(spark):
     assert sizes == {"src0": 4, "src1": 4, "src2": 4, "tiny": 1}
 
 
+def test_remove_dup_passages_keeps_first_occurrence(spark):
+    """The globally-first occurrence of a duplicated n-gram survives; every
+    other occurrence's covered tokens are cut; unique docs pass through;
+    sub-n docs have no grams and are untouched."""
+    from entity_matchers_spark.operators.text_analysis import remove_dup_passages
+
+    span = "a b c d e"  # 5 tokens, n=5: exactly one window per occurrence
+    docs = spark.createDataFrame(
+        [
+            (1, f"{span} tail1 tail2"),        # keeper (min doc_id, start=1)
+            (2, f"head1 head2 {span} done"),   # dup: tokens 3..7 removed
+            (3, "unique words only in this document right here"),
+            (4, "too short"),
+            (5, f"{span} middle {span}"),      # self-dup: 2nd occurrence cut
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.id: r for r in remove_dup_passages(docs, n=5).collect()}
+    assert out[1].n_removed == 0 and out[1].clean_text == "a b c d e tail1 tail2"
+    assert out[2].n_removed == 5 and out[2].clean_text == "head1 head2 done"
+    assert out[3].n_removed == 0
+    assert out[4].n_tokens == 2 and out[4].n_removed == 0
+    # doc 5: doc 1 holds the global keeper occurrence, so BOTH doc-5
+    # occurrences are non-keeper and removed
+    assert out[5].clean_text == "middle"
+    assert out[5].n_removed == 10
+
+
+def test_dsir_weights_rank_target_like_docs_higher(spark):
+    """Raw docs written in the target's vocabulary get higher importance
+    weights than off-distribution docs; weights are deterministic; Gumbel
+    top-k resample returns exactly k rows biased toward high logw."""
+    from entity_matchers_spark.operators.sampling import dsir_resample, dsir_weights
+
+    target = spark.createDataFrame(
+        [(100 + i, "the quick brown fox jumps over the lazy dog") for i in range(8)],
+        "doc_id long, text string",
+    )
+    raw = spark.createDataFrame(
+        [(0, "quick brown fox and lazy dog again"),
+         (1, "the quick brown fox jumps high"),
+         (2, "zzz qqq www unrelated noise tokens xxx yyy"),
+         (3, "completely different vocabulary about spaceships and quasars"),
+         (4, "")],
+        "doc_id long, text string",
+    )
+    w = {r.id: r.logw for r in dsir_weights(raw, target, buckets=256).collect()}
+    assert len(w) == 5
+    assert w[0] > w[2] and w[0] > w[3]  # fox-y docs look like the target
+    assert w[1] > w[2] and w[1] > w[3]
+    assert w[4] == 0.0  # empty doc: no features, weight 0 by convention
+    w2 = {r.id: r.logw for r in dsir_weights(raw, target, buckets=256).collect()}
+    assert w == w2  # deterministic (no rand() anywhere)
+    sel = dsir_resample(raw, target, k=2, buckets=256).collect()
+    assert len(sel) == 2
+    assert {r.id for r in sel} <= {0, 1, 2, 3, 4}
+    # expected: the two target-like docs dominate the Gumbel keys here
+    assert {r.id for r in sel} == {0, 1}
+
+
 def test_dup_passage_stats_shared_span(spark):
     """Docs sharing a >=n-token span score dup_frac > 0 on exactly the
     shared grams; a unique doc scores 0; a too-short doc scores 0 over 0."""
