@@ -106,6 +106,45 @@ def url_duplicates(df: DataFrame, url_col: str = "url") -> DataFrame:
     return canon.join(counts, "url_canon")
 
 
+def url_filter(
+    df: DataFrame,
+    blocked_domains: DataFrame,
+    keywords: tuple[str, ...] = (),
+    url_col: str = "url",
+) -> DataFrame:
+    """RefinedWeb-style URL filtering: flag rows whose registrable domain is
+    on a blocklist or whose canonical URL contains an adult/spam keyword.
+
+    Appends ``blocked_domain`` / ``blocked_kw`` / ``keep`` (0/1) next to the
+    ``url_canon``/``domain`` columns from :func:`canonicalize_urls` — an
+    audit projection; ``.where("keep = 1")`` is the filter form.
+
+    ``blocked_domains`` is a DataFrame with a ``domain`` column of
+    registrable domains (both sides normalized to last-two-labels, so a
+    blocked ``adsite.io`` catches ``cdn.adsite.io``). Real blocklists are
+    a few million rows — comfortably broadcast (the UT1/adult lists are
+    ~4M domains ≈ 100 MB); beyond that the same equi-join shuffles.
+    Keywords are a few dozen literals compiled into one native boolean
+    chain — no Python in the data path either way.
+    """
+    canon = canonicalize_urls(df, url_col)
+    bl = blocked_domains.select(F.col("domain").alias("_bl_domain")).distinct()
+    out = canon.join(F.broadcast(bl), canon["domain"] == F.col("_bl_domain"), "left")
+    lower_url = F.lower(F.col("url_canon"))
+    kw = F.lit(False)
+    for k in keywords:
+        kw = kw | lower_url.contains(k.lower())
+    return (
+        out.withColumn("blocked_domain", F.col("_bl_domain").isNotNull().cast("int"))
+        .withColumn("blocked_kw", kw.cast("int"))
+        .withColumn(
+            "keep",
+            ((F.col("blocked_domain") == 0) & (F.col("blocked_kw") == 0)).cast("int"),
+        )
+        .drop("_bl_domain")
+    )
+
+
 # --- PII scrubbing ------------------------------------------------------------
 
 # Java-regex ∩ RE2 subset (no backrefs / lookaround), so DuckDB replays

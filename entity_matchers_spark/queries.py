@@ -3452,6 +3452,58 @@ FROM canon
 """
 
 
+URL_BLOCKED_DOMAINS = ("spam-casino.biz", "adsite.io")
+URL_BLOCKED_KEYWORDS = ("casino", "xxx")
+
+
+def q_url_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL blocklist filtering (RefinedWeb-style): registrable-domain
+    blocklist broadcast-joined against parsed hosts (a blocked adsite.io
+    catches cdn.adsite.io) plus keyword scan on the canonical URL. The
+    Spark side PARSES the synthesized URLs; the oracle re-derives the
+    expected flags independently from doc_id arithmetic."""
+    from entity_matchers_spark.operators.web import url_filter
+
+    d = F.col("doc_id")
+    host = (
+        F.when(d % 4 == 0, F.lit("www.GoodNews.com"))
+        .when(d % 4 == 1, F.lit("Spam-Casino.biz"))
+        .when(d % 4 == 2, F.lit("cdn.adsite.io"))
+        .otherwise(F.lit("blog.example.org"))
+    )
+    url = F.concat(
+        F.lit("http://"),
+        host,
+        F.lit("/p/"),
+        (d % 7).cast("string"),
+        F.when(d % 5 == 0, F.lit("/casino-night")).otherwise(F.lit("")),
+    )
+    pages = _docs(spark, sf_dir).select("doc_id", url.alias("url"))
+    bl = spark.createDataFrame(
+        [(x,) for x in URL_BLOCKED_DOMAINS], "domain string"
+    )
+    return url_filter(pages, bl, keywords=URL_BLOCKED_KEYWORDS).select(
+        "doc_id", "domain", "blocked_domain", "blocked_kw", "keep"
+    )
+
+
+Q_URL_FILTER_SQL = """
+-- expected flags derived INDEPENDENTLY from doc_id arithmetic:
+--   d%4=1 -> spam-casino.biz (blocklisted), d%4=2 -> cdn.adsite.io whose
+--   registrable domain adsite.io is blocklisted; d%5=0 appends a
+--   /casino-night path segment that trips the 'casino' keyword
+SELECT doc_id,
+       CASE WHEN doc_id % 4 = 0 THEN 'goodnews.com'
+            WHEN doc_id % 4 = 1 THEN 'spam-casino.biz'
+            WHEN doc_id % 4 = 2 THEN 'adsite.io'
+            ELSE 'example.org' END AS domain,
+       CASE WHEN doc_id % 4 IN (1, 2) THEN 1 ELSE 0 END AS blocked_domain,
+       CASE WHEN doc_id % 5 = 0 OR doc_id % 4 = 1 THEN 1 ELSE 0 END AS blocked_kw,
+       CASE WHEN doc_id % 4 IN (1, 2) OR doc_id % 5 = 0 THEN 0 ELSE 1 END AS keep
+FROM documents
+"""
+
+
 _PII_AUG_SPARK = (
     "concat(text, ' Contact Bob.Smith.u', doc_id, '@Mail.Example.org',"
     " CASE WHEN doc_id % 3 = 0 THEN ' cc admin@ex.net' ELSE '' END,"
@@ -3539,6 +3591,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     # -- (0) new in this round-3 session
     "dsir_select": (q_dsir_select, Q_DSIR_SELECT_SQL),
     "passage_removal": (q_passage_removal, Q_PASSAGE_REMOVAL_SQL),
+    "url_filter": (q_url_filter, Q_URL_FILTER_SQL),
     # -- (1) never driver-verified before round 3
     "frame_sample": (q_frame_sample, Q_FRAME_SAMPLE_SQL),
     "degree_guided_sample": (q_degree_guided_sample, Q_DEGREE_SAMPLE_SQL),

@@ -345,3 +345,32 @@ def test_word_vector_scan_and_embed(spark, tmp_path):
     assert out[1] == [2.0, 2.0, 2.0]      # mean(hello, world)
     assert out[2] == [0.0, 0.0, 6.0]
     assert 3 not in out                   # no in-vocab token -> no row
+
+
+def test_bucketed_join_has_no_exchange(spark, tmp_path):
+    """Two tables written bucketed by the join key with equal bucket counts
+    sort-merge-join with ZERO Exchange in the plan (the write paid the
+    shuffle once); results equal the plain shuffled join."""
+    from pyspark.sql import functions as F
+
+    from entity_matchers_spark.sources.bucketed import co_located_join, write_bucketed
+
+    a = spark.range(10_000).select(F.col("id"), (F.col("id") * 2).alias("x"))
+    b = spark.range(0, 10_000, 2).select(F.col("id"), (F.col("id") + 7).alias("y"))
+    write_bucketed(a, "bk_a", "id", 8, path=str(tmp_path / "bk_a"))
+    write_bucketed(b, "bk_b", "id", 8, path=str(tmp_path / "bk_b"))
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # force SMJ so a broadcast can't mask the exchange question
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = co_located_join(spark, "bk_a", "bk_b", "id")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan, f"bucketed join still shuffles:\n{plan}"
+        got = {(r.id, r.x, r.y) for r in joined.collect()}
+        want = {(i, i * 2, i + 7) for i in range(0, 10_000, 2)}
+        assert got == want
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql("DROP TABLE IF EXISTS bk_a")
+        spark.sql("DROP TABLE IF EXISTS bk_b")

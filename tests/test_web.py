@@ -85,3 +85,27 @@ def test_unigram_lm_scores_hand_check(spark):
     assert abs(rows[0]["mean_logprob"] - round((2 * lp(3) + lp(1)) / 3, 6)) < 1e-9
     assert rows[1]["n_tokens"] == 2
     assert abs(rows[1]["mean_logprob"] - round((lp(3) + lp(1)) / 2, 6)) < 1e-9
+
+
+def test_url_filter_domain_and_keyword_rules(spark):
+    """Blocklisted registrable domains catch their subdomains; keywords
+    match anywhere in the canonical URL; clean rows keep=1."""
+    from entity_matchers_spark.operators.web import url_filter
+
+    df = spark.createDataFrame(
+        [
+            (0, "https://www.goodnews.com/story"),
+            (1, "http://spam-casino.biz/win"),          # domain + 'casino' kw
+            (2, "https://cdn.adsite.io/pixel.gif"),     # subdomain of blocked
+            (3, "https://blog.example.org/casino-tips"),  # keyword only
+            (4, "https://blog.example.org/cooking"),
+        ],
+        "id long, url string",
+    )
+    bl = spark.createDataFrame([("spam-casino.biz",), ("adsite.io",)], "domain string")
+    rows = {r["id"]: r for r in url_filter(df, bl, keywords=("casino", "xxx")).collect()}
+    assert (rows[0]["blocked_domain"], rows[0]["blocked_kw"], rows[0]["keep"]) == (0, 0, 1)
+    assert rows[1]["blocked_domain"] == 1 and rows[1]["blocked_kw"] == 1 and rows[1]["keep"] == 0
+    assert rows[2]["blocked_domain"] == 1 and rows[2]["keep"] == 0
+    assert rows[3]["blocked_domain"] == 0 and rows[3]["blocked_kw"] == 1 and rows[3]["keep"] == 0
+    assert rows[4]["keep"] == 1
