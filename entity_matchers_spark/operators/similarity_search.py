@@ -496,3 +496,84 @@ def ivf_neardup_audit(
         ))
         .crossJoin(cands.agg(F.count("*").alias("n_candidates")))
     )
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    tau: float = 0.35,
+    centroid_stride: int = 37,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    deduplication in embedding space. Vectors are coarse-clustered (each to
+    its single nearest centroid — the paper's k-means replaced by the same
+    deterministic stride-sample IVF uses, so the oracle replays the exact
+    partition), pairs WITHIN a cluster with cosine > tau form duplicate
+    groups (transitively), and each group keeps exactly one member — the
+    one with the LOWEST cosine to its centroid (the paper's choice: keep
+    the most atypical example to preserve diversity; ties on id).
+
+    Returns (id, cid, group_id, cos_c, keep) for every corpus vector:
+    cluster assignment, duplicate group (connected component; singletons
+    are their own group), rounded cosine-to-centroid, and the 0/1 keep
+    decision.
+
+    Scale shape: pairwise work is confined inside cells whose expected
+    size is the stride constant, so candidate pairs grow LINEARLY in n
+    (same argument as ivf_neardup_pairs); the group step is hash-min
+    connected components over the sparse >tau edge set, and the keeper is
+    one window per group. The paper dedups 40% of LAION at this exact
+    plan shape (clusters ≪ corpus, within-cluster pairwise).
+    """
+    from pyspark.sql import Window
+
+    from entity_matchers_spark.operators.clustering import connected_components
+
+    cents = _centroids(corpus, id_col, vec_col, centroid_stride)
+    cents_n = cents.withColumn("c_norm", vector_norm(F.col("cvec")))
+    assigned = _assign_cells(corpus, cents, id_col, vec_col, "m", 1)
+    members = (
+        assigned.join(F.broadcast(cents_n), "cid")
+        .select(
+            F.col("m_id").alias("id"),
+            "cid",
+            "m_vec",
+            "m_norm",
+            _rounded_cosine_from_norms(
+                F.col("m_vec"), F.col("cvec"), F.col("m_norm"), F.col("c_norm")
+            ).alias("cos_c"),
+        )
+        # referenced three times below (both pair sides + final projection):
+        # materialize the assignment once instead of re-running the
+        # centroid cross-join per branch
+        .localCheckpoint()
+    )
+    l = members.select(
+        F.col("id").alias("id_a"), "cid",
+        F.col("m_vec").alias("va"), F.col("m_norm").alias("na"),
+    )
+    r = members.select(
+        F.col("id").alias("id_b"), "cid",
+        F.col("m_vec").alias("vb"), F.col("m_norm").alias("nb"),
+    )
+    edges = (
+        l.join(r, "cid")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a", "id_b",
+            _rounded_cosine_from_norms(
+                F.col("va"), F.col("vb"), F.col("na"), F.col("nb")
+            ).alias("cos"),
+        )
+        .where(F.col("cos") > tau)
+        .select("id_a", "id_b")
+    )
+    cc = connected_components(edges)
+    w = Window.partitionBy("group_id").orderBy(F.col("cos_c").asc(), F.col("id").asc())
+    return (
+        members.join(cc, "id", "left")
+        .withColumn("group_id", F.coalesce("cluster_id", "id"))
+        .withColumn("keep", (F.row_number().over(w) == 1).cast("int"))
+        .select("id", "cid", "group_id", "cos_c", "keep")
+    )

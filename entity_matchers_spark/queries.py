@@ -1582,6 +1582,69 @@ WHERE round(list_cosine_similarity(ea.v, eb.v), 6) >= {threshold}
 Q_NEARDUP_EMBEDDING_SQL = _neardup_embedding_sql()
 
 
+SEMDEDUP_TAU = 0.35
+SEMDEDUP_STRIDE = 37
+
+
+def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): coarse-cluster embeddings to their
+    nearest deterministic centroid, form duplicate groups from >tau
+    within-cluster cosines (transitively), keep the group member least
+    similar to its centroid — semantic dedup at LAION scale's plan shape."""
+    from entity_matchers_spark.operators.similarity_search import semantic_dedup
+
+    emb = _read(spark, sf_dir, "embeddings")
+    return semantic_dedup(
+        emb, tau=SEMDEDUP_TAU, centroid_stride=SEMDEDUP_STRIDE
+    ).select("id", "cid", "group_id", "cos_c", "keep")
+
+
+Q_SEMDEDUP_SQL = f"""
+WITH RECURSIVE emb AS MATERIALIZED (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+),
+cents AS MATERIALIZED (
+  SELECT vec_id AS cid, v AS cvec FROM emb WHERE vec_id % {SEMDEDUP_STRIDE} = 0
+),
+asg AS MATERIALIZED (
+  SELECT vec_id AS id, cid FROM (
+    SELECT e.vec_id, c.cid,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY round(list_distance(e.v, c.cvec), 6) ASC,
+                                       c.cid ASC) AS rn
+    FROM emb e CROSS JOIN cents c
+  ) WHERE rn = 1
+),
+memb AS MATERIALIZED (
+  SELECT a.id, a.cid, round(list_cosine_similarity(e.v, c.cvec), 6) AS cos_c
+  FROM asg a JOIN emb e ON e.vec_id = a.id JOIN cents c ON c.cid = a.cid
+),
+edges AS MATERIALIZED (
+  SELECT l.id AS id_a, r.id AS id_b
+  FROM asg l JOIN asg r ON l.cid = r.cid AND l.id < r.id
+  JOIN emb ea ON ea.vec_id = l.id
+  JOIN emb eb ON eb.vec_id = r.id
+  WHERE round(list_cosine_similarity(ea.v, eb.v), 6) > {SEMDEDUP_TAU}
+),
+und AS MATERIALIZED (
+  SELECT id_a AS u, id_b AS v FROM edges
+  UNION SELECT id_b AS u, id_a AS v FROM edges
+),
+reach(u, v) AS (
+  SELECT u, v FROM und
+  UNION
+  SELECT r.u, n.v FROM reach r JOIN und n ON r.v = n.u
+),
+cc AS MATERIALIZED (SELECT u AS id, least(u, min(v)) AS cluster_id FROM reach GROUP BY u)
+SELECT m.id, m.cid, coalesce(cc.cluster_id, m.id) AS group_id, m.cos_c,
+       CASE WHEN row_number() OVER (
+              PARTITION BY coalesce(cc.cluster_id, m.id)
+              ORDER BY m.cos_c ASC, m.id ASC) = 1
+            THEN 1 ELSE 0 END AS keep
+FROM memb m LEFT JOIN cc ON m.id = cc.id
+"""
+
+
 def q_embedding_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding checkpoint round-trip — the reference's save/load-embeddings
     inter-stage contract (/root/reference/OpenEA_Mod/src/openea/modules/load/
@@ -3592,6 +3655,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "dsir_select": (q_dsir_select, Q_DSIR_SELECT_SQL),
     "passage_removal": (q_passage_removal, Q_PASSAGE_REMOVAL_SQL),
     "url_filter": (q_url_filter, Q_URL_FILTER_SQL),
+    "semdedup": (q_semdedup, Q_SEMDEDUP_SQL),
     # -- (1) never driver-verified before round 3
     "frame_sample": (q_frame_sample, Q_FRAME_SAMPLE_SQL),
     "degree_guided_sample": (q_degree_guided_sample, Q_DEGREE_SAMPLE_SQL),

@@ -333,6 +333,40 @@ def test_ivf_neardup_candidates_scale_linearly(spark):
     assert rows["sf0.1"]["n_cells"] > rows["sf0.01"]["n_cells"]
 
 
+def test_semantic_dedup_keeps_least_typical_member(spark):
+    """Hand-built geometry: ids 0 and 37 are centroids (stride 37). Vectors
+    1 and 2 are near-copies of centroid 0 (pairwise cos > tau → one group);
+    vector 3 is orthogonal-ish (its own group); the kept member of the dup
+    group is the one with the LOWEST cosine to the centroid."""
+    from entity_matchers_spark.operators.similarity_search import semantic_dedup
+
+    rows = [
+        (0, [1.0, 0.0, 0.0]),          # centroid of cell 0
+        (37, [0.0, 1.0, 0.0]),         # centroid of cell 37
+        (1, [1.0, 0.01, 0.0]),         # dup of 2, cos_c ≈ 0.99995
+        (2, [1.0, 0.05, 0.0]),         # dup of 1, lower cos_c → keeper
+        (3, [0.7, -0.7, 0.1]),         # same cell, not a dup of anything
+        (38, [0.01, 1.0, 0.0]),        # cell 37, dup of the centroid itself
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {r.id: r for r in semantic_dedup(emb, tau=0.9, centroid_stride=37).collect()}
+    assert len(out) == 6
+    # 0,1,2 form one dup group (all pairwise cos > 0.9); 3 is a singleton
+    g012 = {out[0].group_id, out[1].group_id, out[2].group_id}
+    assert g012 == {0}
+    assert out[3].group_id == 3 and out[3].keep == 1
+    # keeper of {0,1,2}: lowest cos to centroid 0 → vector 2
+    assert out[2].keep == 1 and out[0].keep == 0 and out[1].keep == 0
+    # cell 37: centroid + 38 are mutual dups; keeper is the lower cos_c
+    assert out[37].group_id == 37 and out[38].group_id == 37
+    assert out[38].keep == 1 and out[37].keep == 0  # 38 less typical than 37 itself
+    # exactly one keeper per group
+    keeps = {}
+    for r in out.values():
+        keeps[r.group_id] = keeps.get(r.group_id, 0) + r.keep
+    assert all(v == 1 for v in keeps.values())
+
+
 def test_segment_dedup_semantics(spark):
     """Known shape: one shared 2-token boilerplate segment across two docs
     is removed everywhere; unique segments survive; a doc that is ALL
