@@ -941,7 +941,9 @@ def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = dsir_weights(raw, target, buckets=DSIR_BUCKETS)
     u = hash_uniform(F.col("id"), "dsir:")
     g = -F.log(-F.log(F.greatest(u, F.lit(1e-12))))
-    keyed = w.withColumn("key", F.round(F.col("logw") + g, 6))
+    # referenced twice (top-k selection pass + flag projection): materialize
+    # the weights once instead of running the model pipeline per branch
+    keyed = w.withColumn("key", F.round(F.col("logw") + g, 6)).localCheckpoint()
     sel = (
         keyed.orderBy(F.col("key").desc(), F.col("id").asc())
         .limit(DSIR_K)
