@@ -269,13 +269,19 @@ def main() -> None:
             # the bench always emits its JSON line
             peak_pps = scaling.get("pairs_per_sec_hi")
 
-    from entity_matchers_spark.session import get_spark, warmup_python_workers
+    from entity_matchers_spark.session import (
+        get_spark,
+        warmup_jvm_heap,
+        warmup_python_workers,
+    )
 
     spark = get_spark(app_name="bench", master=f"local[{args.cpus}]")
-    # Untimed session setup: pre-fault each Python worker's numpy arena so
-    # the first UDF-heavy registry query doesn't absorb the host's one-time
-    # page-fault storm (see session.warmup_python_workers).
+    # Untimed session setup: pre-fault each Python worker's numpy arena AND
+    # the JVM young generation so the first string-heavy registry queries
+    # don't absorb the host's one-time page-fault storm (see
+    # session.warmup_python_workers / warmup_jvm_heap).
     warmup_python_workers(spark)
+    warmup_jvm_heap(spark)
     t0 = time.time()
     times = run_registry(spark, args.sf_dir)
     total = round(time.time() - t0, 3)

@@ -150,6 +150,43 @@ def warmup_python_workers(spark: SparkSession, mb_per_worker: int = 96) -> None:
     spark.sparkContext.parallelize(range(n), n).mapPartitions(_touch).count()
 
 
+def warmup_jvm_heap(spark: SparkSession, rows_per_core: int = 120_000) -> None:
+    """Pre-fault the JVM young generation before timed query runs.
+
+    The heap is pinned (``-Xms``) but G1 still first-touches young-gen
+    regions lazily as allocation waves arrive; on this host's slow-fault
+    kernel the first few string-heavy stages each pay tens of seconds of
+    page faults (measured: an explode(split(...)) over 160k tokens ran
+    25 s cold / 0.7 s warm, and the NEXT two differently-shaped queries
+    still paid 15-20 s each until ~2-3 GB of young gen had been touched).
+    One untimed churn query — explode + split + groupBy across every core —
+    walks those pages up front. Warm cost is a couple of seconds; on a
+    healthy kernel it is noise.
+    """
+    from pyspark.sql import functions as F
+
+    n = spark.sparkContext.defaultParallelism
+    df = (
+        spark.range(n * rows_per_core, numPartitions=n)
+        .select(
+            F.explode(
+                F.filter(
+                    F.split(
+                        F.repeat(
+                            F.concat(F.col("id").cast("string"), F.lit("lorem ")), 24
+                        ),
+                        " ",
+                    ),
+                    lambda t: t != "",
+                )
+            ).alias("t")
+        )
+        .groupBy("t")
+        .agg(F.count("*").alias("c"))
+    )
+    df.write.mode("overwrite").format("noop").save()
+
+
 def default_partitions(spark: SparkSession) -> int:
     """Compute-stage width: total cores in local mode, defaultParallelism on
     a cluster. Used to repartition compute-bound stages whose *data* is too
