@@ -3642,6 +3642,101 @@ GROUP BY doc_id
 """
 
 
+# --- training-data layout: packing, global shuffle, chunking ------------------
+
+
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style concatenate-and-chunk packing coordinates for every doc
+    (seq_len=64): deterministic md5-keyed global token order, cut into
+    64-token training sequences. The Spark side computes the global running
+    token total with a DISTRIBUTED prefix sum (4096 hash-prefix buckets +
+    broadcast bucket offsets — no single-task global window); the oracle
+    replays the same semantics as one plain window, proving the two-level
+    decomposition is bit-exact."""
+    from entity_matchers_spark.operators.packing import pack_sequences
+
+    return pack_sequences(_docs(spark, sf_dir), seq_len=64).select(
+        F.col("id").alias("doc_id"), "n_tok", "start", "first_seq", "last_seq",
+        F.col("offset").alias("off_in_seq"),
+    )
+
+
+Q_PACK_SEQUENCES_SQL = r"""
+WITH base AS (
+  SELECT doc_id,
+         len(list_filter(string_split_regex(lower(text), '\s+'), x -> x != ''))::BIGINT AS n_tok,
+         md5('pack:' || doc_id::VARCHAR) AS k
+  FROM documents
+),
+s AS (
+  SELECT doc_id, n_tok,
+         COALESCE(SUM(n_tok) OVER (ORDER BY k, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS start
+  FROM base
+)
+SELECT doc_id, n_tok, start,
+       (start // 64)::BIGINT AS first_seq,
+       ((start + greatest(n_tok - 1, 0)) // 64)::BIGINT AS last_seq,
+       (start % 64)::BIGINT AS off_in_seq
+FROM s
+"""
+
+
+def q_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global shuffle into 8 training shards: shard =
+    md5-hash mod 8 (map-side), pos = rank within shard under the same hash
+    order. The epoch-0 dataloader permutation, recomputable by any
+    worker."""
+    from entity_matchers_spark.operators.packing import global_shuffle
+
+    return global_shuffle(_docs(spark, sf_dir), n_shards=8).select(
+        F.col("id").alias("doc_id"), "shard", "pos"
+    )
+
+
+Q_GLOBAL_SHUFFLE_SQL = """
+WITH base AS (
+  SELECT doc_id, md5('shuf:' || doc_id::VARCHAR) AS k FROM documents
+),
+s AS (
+  SELECT doc_id, (('0x' || substr(k, 1, 8))::UBIGINT % 8)::INT AS shard, k FROM base
+)
+SELECT doc_id, shard,
+       (ROW_NUMBER() OVER (PARTITION BY shard ORDER BY k, doc_id) - 1)::BIGINT AS pos
+FROM s
+"""
+
+
+def q_chunk_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window token chunking (window=32, stride=24): RAG/embedding
+    prep layout, one row per chunk, map-side only (posexplode of a per-row
+    start sequence — no shuffle)."""
+    from entity_matchers_spark.operators.packing import chunk_tokens
+
+    return chunk_tokens(_docs(spark, sf_dir), window=32, stride=24).select(
+        F.col("id").alias("doc_id"), "chunk_id", "start_tok", "n_tok", "chunk_text"
+    )
+
+
+Q_CHUNK_TOKENS_SQL = r"""
+WITH base AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\s+'), x -> x != '') AS toks
+  FROM documents
+),
+n AS (SELECT doc_id, toks, len(toks)::BIGINT AS n FROM base),
+idx AS (
+  SELECT doc_id, toks, n,
+         unnest(range(0, 1 + (greatest(n - 32, 0) + 23) // 24)) AS i
+  FROM n
+)
+SELECT doc_id, i::BIGINT AS chunk_id, (i * 24)::BIGINT AS start_tok,
+       least(32, n - i * 24)::BIGINT AS n_tok,
+       array_to_string(toks[(i * 24 + 1):(i * 24 + 32)], ' ') AS chunk_text
+FROM idx
+"""
+
+
 # ---------------------------------------------------------------------------
 
 # Registry order is GATE-AWARE: the driver's correctness file records only
@@ -3654,6 +3749,9 @@ GROUP BY doc_id
 # implementations — leaving them outside the cap loses no information.
 QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     # -- (0) new in this round-3 session
+    "pack_sequences": (q_pack_sequences, Q_PACK_SEQUENCES_SQL),
+    "global_shuffle": (q_global_shuffle, Q_GLOBAL_SHUFFLE_SQL),
+    "chunk_tokens": (q_chunk_tokens, Q_CHUNK_TOKENS_SQL),
     "dsir_select": (q_dsir_select, Q_DSIR_SELECT_SQL),
     "passage_removal": (q_passage_removal, Q_PASSAGE_REMOVAL_SQL),
     "url_filter": (q_url_filter, Q_URL_FILTER_SQL),

@@ -1,0 +1,128 @@
+"""Training-data layout operators: pack_sequences / global_shuffle /
+chunk_tokens — each verified against an independent driver-side Python
+reference that replays the single-global-window semantics the distributed
+prefix-sum decomposition must reproduce bit-exactly."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+
+
+def _md5(s: str) -> str:
+    return hashlib.md5(s.encode()).hexdigest()
+
+
+@pytest.fixture()
+def word_docs(spark):
+    rows = [
+        (0, "alpha beta gamma delta"),
+        (1, "one two three four five six seven eight nine ten"),
+        (2, "x"),
+        (3, "lorem ipsum dolor sit amet consectetur"),
+        (4, "a b c d e f g"),
+        (5, "solo"),
+        (6, "   padded    whitespace   tokens   "),
+        (7, "repeat repeat repeat repeat repeat repeat repeat repeat repeat"),
+    ]
+    return rows, spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_pack_sequences_matches_global_window_reference(spark, word_docs):
+    from entity_matchers_spark.operators.packing import pack_sequences
+
+    rows, docs = word_docs
+    L = 5
+    out = {r.id: r for r in pack_sequences(docs, seq_len=L).collect()}
+
+    # Python reference: single global ordering by (md5('pack:'||id), id).
+    counts = {i: len(t.split()) for i, t in rows}
+    order = sorted(counts, key=lambda i: (_md5(f"pack:{i}"), i))
+    start, expect = 0, {}
+    for i in order:
+        n = counts[i]
+        expect[i] = (n, start, start // L, (start + max(n - 1, 0)) // L, start % L)
+        start += n
+    assert len(out) == len(rows)
+    for i, (n, st, fs, ls, off) in expect.items():
+        r = out[i]
+        assert (r.n_tok, r.start, r.first_seq, r.last_seq, r.offset) == (n, st, fs, ls, off)
+    # The packed stream is gapless: starts are exactly the exclusive cumsum.
+    assert sum(counts.values()) == start
+
+
+def test_pack_sequences_straddles_sequence_boundaries(spark):
+    from entity_matchers_spark.operators.packing import pack_sequences
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(["w"] * 7)) for i in range(10)], "doc_id long, text string"
+    )
+    out = pack_sequences(docs, seq_len=16).collect()
+    # 10 docs x 7 tokens = 70 tokens -> sequences 0..4; some doc must straddle.
+    assert max(r.last_seq for r in out) == (70 - 1) // 16
+    assert any(r.first_seq != r.last_seq for r in out)
+    # Every doc fits within [first_seq, last_seq] by construction.
+    for r in out:
+        assert r.first_seq * 16 + r.offset == r.start
+        assert r.first_seq <= r.last_seq
+
+
+def test_global_shuffle_is_a_deterministic_permutation(spark, word_docs):
+    from entity_matchers_spark.operators.packing import global_shuffle
+
+    rows, docs = word_docs
+    out = [(r.id, r.shard, r.pos) for r in global_shuffle(docs, n_shards=3).collect()]
+    assert len(out) == len(rows)
+    # Reference: shard = first-8-hex of md5 mod 3; pos = rank within shard.
+    ref_shard = {i: int(_md5(f"shuf:{i}")[:8], 16) % 3 for i, _ in rows}
+    by_shard: dict[int, list[int]] = {}
+    for i, _ in rows:
+        by_shard.setdefault(ref_shard[i], []).append(i)
+    ref_pos = {}
+    for s, ids in by_shard.items():
+        for p, i in enumerate(sorted(ids, key=lambda i: (_md5(f"shuf:{i}"), i))):
+            ref_pos[i] = p
+    for i, s, p in out:
+        assert s == ref_shard[i] and p == ref_pos[i]
+    # Re-running yields the identical permutation (retry-stable).
+    again = {(r.id, r.shard, r.pos) for r in global_shuffle(docs, n_shards=3).collect()}
+    assert again == set(out)
+    # A different salt is a different permutation of the same rows.
+    other = {(r.id, r.shard, r.pos) for r in
+             global_shuffle(docs, n_shards=3, salt="shuf2:").collect()}
+    assert {t[0] for t in other} == {i for i, _ in rows}
+    assert other != again
+
+
+def test_chunk_tokens_standard_overlap_formula(spark):
+    from entity_matchers_spark.operators.packing import chunk_tokens
+
+    docs = spark.createDataFrame(
+        [
+            (1, " ".join(f"t{i}" for i in range(10))),  # n=10, W=8, S=4 -> 2 chunks
+            (2, "a b c"),                               # n < W -> 1 chunk
+            (3, " ".join(f"u{i}" for i in range(16))),  # n=16 -> chunks at 0,4,8
+        ],
+        "doc_id long, text string",
+    )
+    out = chunk_tokens(docs, window=8, stride=4).collect()
+    got = {}
+    for r in out:
+        got.setdefault(r.id, []).append((r.chunk_id, r.start_tok, r.n_tok, r.chunk_text))
+    for v in got.values():
+        v.sort()
+    # n=10: 1 + ceil((10-8)/4) = 2 chunks; the tail chunk is shortened.
+    assert [c[:3] for c in got[1]] == [(0, 0, 8), (1, 4, 6)]
+    assert got[1][0][3] == " ".join(f"t{i}" for i in range(8))
+    assert got[1][1][3] == " ".join(f"t{i}" for i in range(4, 10))
+    # n=3 < W: a single whole-doc chunk.
+    assert got[2] == [(0, 0, 3, "a b c")]
+    # n=16: 1 + ceil(8/4) = 3 chunks, last one exactly flush.
+    assert [c[:3] for c in got[3]] == [(0, 0, 8), (1, 4, 8), (2, 8, 8)]
+    # Coverage invariant: every token index is inside some chunk.
+    for i, t in [(1, 10), (2, 3), (3, 16)]:
+        covered = set()
+        for _, st, n, _ in got[i]:
+            covered |= set(range(st, st + n))
+        assert covered == set(range(t))
