@@ -351,3 +351,54 @@ def dup_passage_stats(
             .alias("dup_frac"),
         )
     )
+
+
+def corpus_rollup(
+    df: DataFrame,
+    dims: tuple[str, str] = ("lang", "source"),
+    text_col: str = "text",
+    all_label: str = "(all)",
+) -> DataFrame:
+    """Dataset-card rollup: corpus statistics at every grain of
+    ``ROLLUP(dims)`` — per (lang, source), per lang, and grand total in ONE
+    aggregation pass. The summary table every corpus release ships ("N docs,
+    M tokens per language/source"), and the repo's multi-dimensional
+    aggregate surface (Spark ``rollup``/grouping sets; the oracle replays it
+    with ``GROUP BY ROLLUP``).
+
+    Emits ``(d1, d2, n_docs, total_tokens, avg_chars, median_chars,
+    max_chars)`` with rolled-up dimension values shown as ``all_label``
+    (the fixture dims are non-null, so the label is unambiguous).
+
+    Scale shape: ``rollup`` is ONE shuffle with map-side partial
+    aggregation — Spark expands the grouping sets before the exchange, so
+    the cost is (#grains)× the map-side combine, never multiple passes over
+    the corpus. ``median_chars`` is the exact interpolated percentile; at
+    10^12 docs per-group sorting is the cost driver, and the swap to
+    ``approx_percentile`` is a one-line degrade the docstring owns rather
+    than hides. Reference analog: the per-fold mean/std result aggregation
+    (/root/reference/src/run_experiment.py:10-53) — corpus-level summary
+    stats as a first-class output table.
+    """
+    d1, d2 = dims
+    base = df.select(
+        F.col(d1).alias("_d1"),
+        F.col(d2).alias("_d2"),
+        F.size(tokens(F.col(text_col))).cast("long").alias("_ntok"),
+        F.length(text_col).cast("long").alias("_nchr"),
+    )
+    return (
+        base.rollup("_d1", "_d2")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("_ntok").alias("total_tokens"),
+            F.round(F.avg("_nchr"), 6).alias("avg_chars"),
+            F.round(F.percentile("_nchr", F.lit(0.5)), 6).alias("median_chars"),
+            F.max("_nchr").alias("max_chars"),
+        )
+        .select(
+            F.coalesce("_d1", F.lit(all_label)).alias(d1),
+            F.coalesce("_d2", F.lit(all_label)).alias(d2),
+            "n_docs", "total_tokens", "avg_chars", "median_chars", "max_chars",
+        )
+    )

@@ -3737,6 +3737,34 @@ FROM idx
 """
 
 
+def q_corpus_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-card rollup: corpus stats at (lang, source), (lang), and
+    grand-total grains in one GROUP BY ROLLUP pass (map-side partial agg,
+    one shuffle)."""
+    from entity_matchers_spark.operators.text_analysis import corpus_rollup
+
+    return corpus_rollup(_docs(spark, sf_dir))
+
+
+Q_CORPUS_ROLLUP_SQL = r"""
+WITH base AS (
+  SELECT lang, source,
+         len(list_filter(string_split_regex(lower(text), '\s+'), x -> x != ''))::BIGINT AS ntok,
+         length(text)::BIGINT AS nchr
+  FROM documents
+)
+SELECT COALESCE(lang, '(all)') AS lang,
+       COALESCE(source, '(all)') AS source,
+       count(*) AS n_docs,
+       sum(ntok)::BIGINT AS total_tokens,
+       round(avg(nchr), 6) AS avg_chars,
+       round(quantile_cont(nchr, 0.5), 6) AS median_chars,
+       max(nchr) AS max_chars
+FROM base
+GROUP BY ROLLUP (lang, source)
+"""
+
+
 # ---------------------------------------------------------------------------
 
 # Registry order is GATE-AWARE: the driver's correctness file records only
@@ -3752,6 +3780,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "pack_sequences": (q_pack_sequences, Q_PACK_SEQUENCES_SQL),
     "global_shuffle": (q_global_shuffle, Q_GLOBAL_SHUFFLE_SQL),
     "chunk_tokens": (q_chunk_tokens, Q_CHUNK_TOKENS_SQL),
+    "corpus_rollup": (q_corpus_rollup, Q_CORPUS_ROLLUP_SQL),
     "dsir_select": (q_dsir_select, Q_DSIR_SELECT_SQL),
     "passage_removal": (q_passage_removal, Q_PASSAGE_REMOVAL_SQL),
     "url_filter": (q_url_filter, Q_URL_FILTER_SQL),

@@ -126,3 +126,46 @@ def test_chunk_tokens_standard_overlap_formula(spark):
         for _, st, n, _ in got[i]:
             covered |= set(range(st, st + n))
         assert covered == set(range(t))
+
+
+def test_corpus_rollup_grains_are_consistent(spark):
+    """ROLLUP emits (d1,d2), (d1), and () grains whose counts/sums nest
+    exactly; the grand total matches the raw table."""
+    from entity_matchers_spark.operators.text_analysis import corpus_rollup
+
+    docs = spark.createDataFrame(
+        [
+            (1, "one two three", "en", "web"),
+            (2, "quatre cinq", "fr", "web"),
+            (3, "six seven eight nine", "en", "books"),
+            (4, "dix", "fr", "web"),
+            (5, "ten eleven", "en", "web"),
+        ],
+        "doc_id long, text string, lang string, source string",
+    )
+    rows = {(r.lang, r.source): r for r in corpus_rollup(docs).collect()}
+    # grains: 3 leaf combos + 2 langs + 1 total
+    assert set(rows) == {
+        ("en", "web"), ("en", "books"), ("fr", "web"),
+        ("en", "(all)"), ("fr", "(all)"), ("(all)", "(all)"),
+    }
+    total = rows[("(all)", "(all)")]
+    assert total.n_docs == 5 and total.total_tokens == 12
+    assert rows[("en", "(all)")].n_docs == 3
+    assert (
+        rows[("en", "web")].n_docs + rows[("en", "books")].n_docs
+        == rows[("en", "(all)")].n_docs
+    )
+    # per-lang token sums nest into the total
+    assert (
+        rows[("en", "(all)")].total_tokens + rows[("fr", "(all)")].total_tokens
+        == total.total_tokens
+    )
+    # median of fr/web chars: docs 2 ("quatre cinq"=11) and 4 ("dix"=3) -> 7.0
+    assert rows[("fr", "(all)")].median_chars == 7.0
+    assert total.max_chars == max(len(t) for _, t, _, _ in
+                                  [(1, "one two three", 0, 0),
+                                   (2, "quatre cinq", 0, 0),
+                                   (3, "six seven eight nine", 0, 0),
+                                   (4, "dix", 0, 0),
+                                   (5, "ten eleven", 0, 0)])
