@@ -53,7 +53,22 @@ HEADLINE = [
     "passage_removal",
     "url_filter",
     "semdedup",
+    "pack_sequences",
+    "global_shuffle",
+    "chunk_tokens",
+    "corpus_rollup",
 ]
+
+# Max allowed ``Exchange SinglePartition`` occurrences: pack_sequences owns
+# exactly one (the 4096-row bucket-totals prefix table — broadcast-size by
+# construction); every other layout query must keep its data path fully
+# partitioned.
+_SINGLE_PARTITION_BUDGET = {
+    "pack_sequences": 1,
+    "global_shuffle": 0,
+    "chunk_tokens": 0,
+    "corpus_rollup": 0,
+}
 
 
 def formatted_plan(df) -> str:
@@ -83,6 +98,14 @@ def audit(name: str, plan: str) -> list[str]:
         read = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
         if read and read[0].count(",") > 8:
             problems.append(f"scan reads too many columns: {read[0].strip()}")
+    budget = _SINGLE_PARTITION_BUDGET.get(name)
+    if budget is not None:
+        got = plan.count("Exchange SinglePartition")
+        if got > budget:
+            problems.append(
+                f"{got} SinglePartition exchanges (budget {budget}): "
+                "data path collapsed onto one task"
+            )
     return problems
 
 
