@@ -312,8 +312,12 @@ def stable_marriage_components(
 
     small = pairs.where(F.col("_csz") <= max_component)
     out = small.groupBy("cluster_id").applyInPandas(solve, out_schema)
-    big = pairs.where(F.col("_csz") > max_component)
-    if big.limit(1).count() > 0:
+    # Oversize routing decided from the tiny per-component size table (one
+    # aggregate over the checkpointed CC labels) — NOT by evaluating the
+    # full edges⋈labels join a second time just to test emptiness.
+    max_sz = sizes.agg(F.max("_csz")).first()[0] or 0
+    if max_sz > max_component:
+        big = pairs.where(F.col("_csz") > max_component)
         out = out.unionByName(
             stable_marriage(big.select("id_a", "id_b", "score"), score_col="score")
         )
