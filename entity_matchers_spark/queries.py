@@ -2302,13 +2302,73 @@ def q_er_stable_marriage(spark: SparkSession, sf_dir: str) -> DataFrame:
     sequential deferred-acceptance solve per component in applyInPandas,
     with oversized components routed to the round-based distributed loop.
 
-    No SQL oracle: deferred acceptance is inherently iterative (DuckDB 1.0
-    has no updatable recursive CTE), so the driver records the weaker
-    rows-only check; value-level verification lives in
-    tests/test_matching_clustering.py against an independent dict-based
-    Gale–Shapley plus a no-blocking-pair stability invariant."""
+    Full-value SQL oracle (Q_ER_STABLE_MARRIAGE_SQL): the list-shrinking
+    parallel Gale–Shapley round — free suitors propose to their best
+    remaining reviewer, reviewers keep the lowest-rank contender, rejected
+    entries are pruned — is one recursive-CTE step whose termination is
+    driven by proposal-emptiness (no updatable state needed). Deferred
+    acceptance is proposal-order invariant, so the round-parallel SQL
+    fixpoint equals the per-component sequential solve. A dict-based
+    reference implementation plus a no-blocking-pair stability invariant
+    also run in tests/test_matching_clustering.py."""
     scored = _er_spark_scores(spark, sf_dir)
     return matching.stable_marriage_components(scored).select("id_a", "id_b", "score")
+
+
+Q_ER_STABLE_MARRIAGE_SQL = (
+    f"WITH RECURSIVE {_er_blocks_sql()}, {_er_pairs_sql()}, {_er_scores_sql()}, "
+    """
+  base AS MATERIALIZED (
+    SELECT id_a, id_b, score,
+      row_number() OVER (PARTITION BY id_a ORDER BY score DESC, id_b ASC) AS rank_a,
+      row_number() OVER (PARTITION BY id_b ORDER BY score DESC, id_a ASC) AS rank_b
+    FROM final_scored
+  ),
+  -- One Gale-Shapley round per recursive step, state = tagged rows:
+  --   'P' = still-live preference entries, 'E' = current engagements.
+  -- Each round: free suitors propose to their best remaining reviewer,
+  -- each reviewer keeps the lowest-rank_b contender (proposals + incumbent),
+  -- and every entry the reviewer now rejects outright is pruned ('P' rows
+  -- with rank_b >= the engaged rank_b).  Recursion stops when no suitor can
+  -- propose, so the last iteration's 'E' rows are the stable matching.
+  gs AS (
+    SELECT 0 AS iter, 'P' AS tag, id_a, id_b, score, rank_a, rank_b FROM base
+    UNION ALL
+    (
+      WITH prev_p AS (SELECT * FROM gs WHERE tag = 'P'),
+           prev_e AS (SELECT * FROM gs WHERE tag = 'E'),
+           props AS (
+             SELECT * FROM (
+               SELECT p.*, row_number() OVER (PARTITION BY p.id_a ORDER BY p.rank_a) AS rn
+               FROM prev_p p LEFT JOIN prev_e e ON p.id_a = e.id_a
+               WHERE e.id_a IS NULL
+             ) WHERE rn = 1
+           ),
+           new_e AS (
+             SELECT * FROM (
+               SELECT iter, id_a, id_b, score, rank_a, rank_b,
+                      row_number() OVER (PARTITION BY id_b ORDER BY rank_b) AS rn
+               FROM (SELECT iter, id_a, id_b, score, rank_a, rank_b FROM props
+                     UNION ALL
+                     SELECT iter, id_a, id_b, score, rank_a, rank_b FROM prev_e)
+             ) WHERE rn = 1
+           ),
+           new_p AS (
+             SELECT p.iter, p.id_a, p.id_b, p.score, p.rank_a, p.rank_b
+             FROM prev_p p LEFT JOIN new_e e ON p.id_b = e.id_b
+             WHERE e.id_b IS NULL OR p.rank_b < e.rank_b
+           )
+      SELECT iter + 1, 'P' AS tag, id_a, id_b, score, rank_a, rank_b FROM new_p
+      WHERE EXISTS (SELECT 1 FROM props)
+      UNION ALL
+      SELECT iter + 1, 'E' AS tag, id_a, id_b, score, rank_a, rank_b FROM new_e
+      WHERE EXISTS (SELECT 1 FROM props)
+    )
+  )
+SELECT id_a, id_b, score FROM gs
+WHERE tag = 'E' AND iter = (SELECT max(iter) FROM gs)
+"""
+)
 
 
 def q_er_mwgm_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3805,7 +3865,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "segment_dedup": (q_segment_dedup, Q_SEGMENT_DEDUP_SQL),
     "neardup_resolve": (q_neardup_resolve, Q_NEARDUP_RESOLVE_SQL),
     "decontaminate": (q_decontaminate, Q_DECONTAMINATE_SQL),
-    "er_stable_marriage": (q_er_stable_marriage, None),
+    "er_stable_marriage": (q_er_stable_marriage, Q_ER_STABLE_MARRIAGE_SQL),
     "er_hard_negatives": (q_er_hard_negatives, Q_ER_HARD_NEGATIVES_SQL),
     "er_mwgm_exact": (q_er_mwgm_exact, None),
     "stratified_sample": (q_stratified_sample, Q_STRATIFIED_SAMPLE_SQL),
