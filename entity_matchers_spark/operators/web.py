@@ -19,6 +19,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from entity_matchers_spark.functions.hashing import stable_hash32
 from entity_matchers_spark.functions.shingles import tokens
 
 # Tracking parameters dropped during canonicalization (the common subset
@@ -181,6 +182,111 @@ def pii_scrub(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> 
 
 
 # --- unigram LM quality score -------------------------------------------------
+
+
+def nb_quality_scores(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+    hq_mod: int = 4,
+    min_count: int = 2,
+) -> DataFrame:
+    """(id, n_tokens, label_hq, score, pred_hq): a trained quality
+    classifier — multinomial Naive Bayes over whitespace tokens, fit on
+    source-derived weak labels (the GPT-3/CCNet recipe: "curated sources
+    are positives, the rest of the crawl is negative", here sources whose
+    md5 hash ≡ 0 mod ``hq_mod`` stand in for the curated set so the whole
+    fit is deterministic and engine-replayable).
+
+    Fit and score are one distributed pass each:
+
+    - explode tokens → per-(token, class) counts with map-side partial
+      aggregation; vocabulary pruned to tokens seen ≥ ``min_count`` times
+      (the Zipf tail carries no signal and would dominate the weight
+      table's size at crawl scale);
+    - per-token Laplace log-likelihood-ratio weight computed as ONE ``ln``
+      of an exact integer ratio, then fixed-pointed to a BIGINT in
+      micro-nats (``round(llr * 1e6)``) so the per-doc reduction is an
+      integer sum — order-independent, bit-exact across engines and
+      partitionings (a float sum would drift ULPs per reduction order);
+    - score = class-prior (same fixed-point) + token-weight sum via a
+      shuffle join of the exploded tokens against the weight table
+      (Zipf-bounded vocab: AQE broadcasts it when it fits, shuffles
+      otherwise), then one partial-aggregated groupBy(id).
+
+    The fastText classifier this stands in for is also a linear model over
+    token counts; the NB fit keeps training inside two groupBys instead of
+    SGD. Reference analog: the attribute-overlap weak supervision of IMUSE
+    (/root/reference/src/imuse/run_imuse.py) — weak labels in, calibrated
+    decision out.
+    """
+    lbl = (stable_hash32(F.col(source_col), salt="nbq:") % hq_mod == 0).cast("int")
+    base = df.select(
+        F.col(id_col).alias("id"),
+        lbl.alias("label_hq"),
+        tokens(F.col(text_col)).alias("_toks"),
+    )
+    toks = base.select("id", "label_hq", F.explode("_toks").alias("tok"))
+
+    # vocabulary + per-class counts, one shuffle (partial-agg'd map-side)
+    cnt = (
+        toks.groupBy("tok")
+        .agg(
+            F.sum("label_hq").alias("c_pos"),
+            F.sum(1 - F.col("label_hq")).alias("c_neg"),
+        )
+        .where(F.col("c_pos") + F.col("c_neg") >= min_count)
+    )
+    # class token totals + vocab size: one row, broadcast everywhere
+    stats = cnt.agg(
+        F.sum("c_pos").alias("n_pos"),
+        F.sum("c_neg").alias("n_neg"),
+        F.count("*").alias("v"),
+    )
+    # doc-level class prior from the label split (fixed-point micro-nats)
+    prior = base.agg(
+        F.round(
+            F.log(
+                F.sum("label_hq").cast("double")
+                / F.sum(1 - F.col("label_hq")).cast("double")
+            )
+            * 1e6
+        )
+        .cast("long")
+        .alias("prior_fp")
+    )
+    # w = ln( ((c_pos+1) * (n_neg+V)) / ((c_neg+1) * (n_pos+V)) ), one ln of
+    # an exact-integer ratio -> identical doubles in any IEEE engine
+    weights = cnt.crossJoin(F.broadcast(stats)).select(
+        "tok",
+        F.round(
+            F.log(
+                ((F.col("c_pos") + 1) * (F.col("n_neg") + F.col("v"))).cast("double")
+                / ((F.col("c_neg") + 1) * (F.col("n_pos") + F.col("v"))).cast("double")
+            )
+            * 1e6
+        )
+        .cast("long")
+        .alias("w_fp"),
+    )
+    scored = (
+        toks.join(weights, "tok", "left")
+        .groupBy("id", "label_hq")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum(F.coalesce(F.col("w_fp"), F.lit(0))).alias("sum_fp"),
+        )
+        .crossJoin(F.broadcast(prior))
+    )
+    score_fp = F.col("prior_fp") + F.col("sum_fp")
+    return scored.select(
+        "id",
+        "n_tokens",
+        "label_hq",
+        F.round(score_fp / 1e6, 6).alias("score"),
+        (score_fp > 0).cast("int").alias("pred_hq"),
+    )
 
 
 def unigram_lm_scores(

@@ -3702,6 +3702,58 @@ GROUP BY doc_id
 """
 
 
+def q_nb_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trained quality classifier: multinomial Naive Bayes on whitespace
+    tokens, fit on source-derived weak labels (md5(source) mod 4 == 0 is
+    the stand-in curated set), scored with fixed-point integer
+    log-likelihood weights so the distributed sum is bit-exact."""
+    from entity_matchers_spark.operators.web import nb_quality_scores
+
+    return nb_quality_scores(_docs(spark, sf_dir)).select(
+        F.col("id").alias("doc_id"), "n_tokens", "label_hq", "score", "pred_hq"
+    )
+
+
+Q_NB_QUALITY_SQL = r"""
+WITH base AS MATERIALIZED (
+  SELECT doc_id,
+         (('0x' || substr(md5('nbq:' || source), 1, 8))::UBIGINT::BIGINT % 4 = 0)::INT
+           AS label_hq,
+         list_filter(string_split_regex(lower(text), '\s+'), x -> x != '') AS ts
+  FROM documents
+),
+toks AS MATERIALIZED (
+  SELECT doc_id, label_hq, unnest(ts) AS tok FROM base
+),
+cnt AS MATERIALIZED (
+  SELECT tok, sum(label_hq)::BIGINT AS c_pos, sum(1 - label_hq)::BIGINT AS c_neg
+  FROM toks GROUP BY tok
+  HAVING sum(label_hq) + sum(1 - label_hq) >= 2
+),
+stats AS (
+  SELECT sum(c_pos)::BIGINT AS n_pos, sum(c_neg)::BIGINT AS n_neg,
+         count(*)::BIGINT AS v
+  FROM cnt
+),
+prior AS (
+  SELECT round(ln(sum(label_hq)::DOUBLE / sum(1 - label_hq)::DOUBLE) * 1e6)::BIGINT
+           AS prior_fp
+  FROM base
+),
+weights AS MATERIALIZED (
+  SELECT tok,
+         round(ln(((c_pos + 1) * (n_neg + v))::DOUBLE
+                  / ((c_neg + 1) * (n_pos + v))::DOUBLE) * 1e6)::BIGINT AS w_fp
+  FROM cnt CROSS JOIN stats
+)
+SELECT doc_id, count(*)::BIGINT AS n_tokens, label_hq,
+       round((prior_fp + sum(coalesce(w_fp, 0))) / 1e6, 6) AS score,
+       (prior_fp + sum(coalesce(w_fp, 0)) > 0)::INT AS pred_hq
+FROM toks LEFT JOIN weights USING (tok) CROSS JOIN prior
+GROUP BY doc_id, label_hq, prior_fp
+"""
+
+
 # --- training-data layout: packing, global shuffle, chunking ------------------
 
 
@@ -3837,6 +3889,7 @@ GROUP BY ROLLUP (lang, source)
 # implementations — leaving them outside the cap loses no information.
 QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     # -- (0) new in this round-3 session
+    "nb_quality": (q_nb_quality, Q_NB_QUALITY_SQL),
     "pack_sequences": (q_pack_sequences, Q_PACK_SEQUENCES_SQL),
     "global_shuffle": (q_global_shuffle, Q_GLOBAL_SHUFFLE_SQL),
     "chunk_tokens": (q_chunk_tokens, Q_CHUNK_TOKENS_SQL),

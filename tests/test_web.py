@@ -87,6 +87,60 @@ def test_unigram_lm_scores_hand_check(spark):
     assert abs(rows[1]["mean_logprob"] - round((lp(3) + lp(1)) / 2, 6)) < 1e-9
 
 
+def test_nb_quality_scores_hand_check(spark):
+    """NB fit/score against a scalar reference: weak labels from
+    md5(source) mod 4, Laplace LLR weights in fixed-point micro-nats,
+    per-doc integer sum + prior."""
+    import hashlib
+
+    from entity_matchers_spark.operators.web import nb_quality_scores
+
+    def label(src: str) -> int:
+        return int(int(hashlib.md5(f"nbq:{src}".encode()).hexdigest()[:8], 16) % 4 == 0)
+
+    pos = next(s for i in range(100) if label(s := f"s{i}") == 1)
+    neg = next(s for i in range(100) if label(s := f"s{i}") == 0)
+    docs = [
+        (0, "good good clean", pos),
+        (1, "good clean", pos),
+        (2, "spam spam junk", neg),
+        (3, "junk good", neg),
+        (4, "rareword clean", pos),  # 'rareword' count 1 -> pruned from vocab
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string, source string")
+    out = {r["id"]: r for r in nb_quality_scores(df).collect()}
+
+    # scalar reference
+    toks = {d: (t.lower().split(), label(s)) for d, t, s in docs}
+    cnt: dict[str, list[int]] = {}
+    for _, (ts, l) in toks.items():
+        for t in ts:
+            c = cnt.setdefault(t, [0, 0])
+            c[l] += 1
+    cnt = {t: c for t, c in cnt.items() if c[0] + c[1] >= 2}
+    n_neg = sum(c[0] for c in cnt.values())
+    n_pos = sum(c[1] for c in cnt.values())
+    v = len(cnt)
+    w_fp = {
+        t: round(
+            math.log(((c[1] + 1) * (n_neg + v)) / ((c[0] + 1) * (n_pos + v))) * 1e6
+        )
+        for t, c in cnt.items()
+    }
+    npos_docs = sum(l for _, (_, l) in toks.items())
+    prior_fp = round(math.log(npos_docs / (len(docs) - npos_docs)) * 1e6)
+
+    assert set(out) == {0, 1, 2, 3, 4}
+    for d, (ts, l) in toks.items():
+        sfp = prior_fp + sum(w_fp.get(t, 0) for t in ts)
+        assert out[d]["label_hq"] == l
+        assert out[d]["n_tokens"] == len(ts)
+        assert abs(out[d]["score"] - round(sfp / 1e6, 6)) < 1e-12
+        assert out[d]["pred_hq"] == int(sfp > 0)
+    # the weak labels separate: hq docs score above the lq spam docs
+    assert out[0]["score"] > out[2]["score"]
+
+
 def test_url_filter_domain_and_keyword_rules(spark):
     """Blocklisted registrable domains catch their subdomains; keywords
     match anywhere in the canonical URL; clean rows keep=1."""
