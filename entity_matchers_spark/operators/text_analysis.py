@@ -7,7 +7,7 @@ All native column expressions (whole-stage codegen); no Python in the path.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from entity_matchers_spark.functions.hashing import MINHASH_PRIME
@@ -401,4 +401,43 @@ def corpus_rollup(
             F.coalesce("_d2", F.lit(all_label)).alias(d2),
             "n_docs", "total_tokens", "avg_chars", "median_chars", "max_chars",
         )
+    )
+
+
+def bpe_merge_counts(
+    df: DataFrame, text_col: str = "text", top_n: int = 20
+) -> DataFrame:
+    """(rank, pair, cnt): the corpus-wide adjacent-pair frequency table —
+    ONE merge-selection step of BPE tokenizer training (Sennrich et al.
+    2016) run distributed over the whole corpus, returning the ``top_n``
+    most frequent adjacent token pairs (the next merges a BPE trainer
+    would pick). Whitespace tokens stand in for the byte/character units;
+    full training iterates this count + re-segment loop driver-side.
+
+    Plan shape: adjacent pairs come from zip_with over two slices of the
+    token array (pure native expressions, stays in codegen), one explode,
+    one partial-agg'd groupBy. The final top-n window runs over the
+    AGGREGATED pair table (vocab²-bounded, Zipf-distributed — tiny next to
+    the corpus), not over token instances; ties rank lexicographically so
+    the result is deterministic.
+    """
+    ts = tokens(F.col(text_col))
+    pairs = F.when(
+        F.size(ts) >= 2,
+        F.zip_with(
+            F.slice(ts, 1, F.size(ts) - 1),
+            F.slice(ts, 2, F.size(ts) - 1),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    cnt = (
+        df.select(F.explode(pairs).alias("pair"))
+        .groupBy("pair")
+        .agg(F.count("*").alias("cnt"))
+    )
+    w = Window.orderBy(F.desc("cnt"), F.asc("pair"))
+    return (
+        cnt.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= top_n)
+        .select("rank", "pair", "cnt")
     )

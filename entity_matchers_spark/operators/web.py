@@ -16,7 +16,7 @@ Java-regex ∩ RE2 common subset so the DuckDB oracles replay them exactly.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from entity_matchers_spark.functions.hashing import stable_hash32
@@ -315,4 +315,88 @@ def unigram_lm_scores(
         F.round(
             F.avg(F.log(F.col("c") / F.col("n_total").cast("double"))), 6
         ).alias("mean_logprob"),
+    )
+
+
+# --- CCNet-style per-language perplexity buckets -------------------------------
+
+
+def ccnet_lm_buckets(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang_col: str = "lang",
+) -> DataFrame:
+    """(id, lang, n_tokens, mean_logprob, bucket): CCNet's head/middle/tail
+    split (Wenzek et al. 2020) — score every document under a PER-LANGUAGE
+    unigram LM (the KenLM stand-in), then bucket each language's documents
+    into the best third ("head"), middle third, worst third ("tail") of
+    that language's perplexity distribution.
+
+    Scale-first bucketing: CCNet assigns buckets by comparing each doc's
+    perplexity against per-language CUTOFFS, not by globally sorting docs.
+    We do the same — the tercile boundaries come from a window over the
+    per-(lang, score) DISTINCT-VALUE histogram (Zipf-bounded: at most one
+    row per distinct doc score, aggregated map-side first), and the final
+    assignment is a hash join of docs against that small cutoff table.
+    A naive ntile() would instead sort EVERY document of a language inside
+    one window partition — a single-task sort on a 90%-English crawl.
+
+    Ties share a bucket (cutoff semantics, like CCNet), so the result is
+    insensitive to sort nondeterminism. Determinism: per-token weights are
+    ln of an exact integer ratio fixed-pointed to micro-nats (BIGINT); the
+    per-doc reduction is an integer sum; the bucket rule compares integer
+    products (3 * n_better vs n_lang).
+    """
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.col(lang_col).alias("lang"),
+        tokens(F.col(text_col)).alias("_toks"),
+    )
+    toks = base.select("id", "lang", F.explode("_toks").alias("tok"))
+
+    cnt = toks.groupBy("lang", "tok").agg(F.count("*").alias("c"))
+    lang_tot = cnt.groupBy("lang").agg(F.sum("c").alias("n_lang"))
+    weights = cnt.join(F.broadcast(lang_tot), "lang").select(
+        "lang",
+        "tok",
+        F.round(F.log(F.col("c") / F.col("n_lang").cast("double")) * 1e6)
+        .cast("long")
+        .alias("w_fp"),
+    )
+
+    scored = (
+        toks.join(weights, ["lang", "tok"])
+        .groupBy("id", "lang")
+        .agg(F.count("*").alias("n_tokens"), F.sum("w_fp").alias("sum_fp"))
+        .withColumn("mean_fp", F.col("sum_fp") / F.col("n_tokens"))
+    )
+
+    # distinct-score histogram per language -> cumulative docs-better count
+    dist = scored.groupBy("lang", "mean_fp").agg(F.count("*").alias("c"))
+    w = (
+        Window.partitionBy("lang")
+        .orderBy(F.desc("mean_fp"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cutoffs = dist.select(
+        "lang",
+        "mean_fp",
+        (F.sum("c").over(w) - F.col("c")).alias("n_better"),
+        F.sum("c").over(Window.partitionBy("lang")).alias("n_lang_docs"),
+    ).select(
+        "lang",
+        "mean_fp",
+        F.when(3 * F.col("n_better") < F.col("n_lang_docs"), F.lit("head"))
+        .when(3 * F.col("n_better") < 2 * F.col("n_lang_docs"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+        .alias("bucket"),
+    )
+
+    return scored.join(cutoffs, ["lang", "mean_fp"]).select(
+        "id",
+        "lang",
+        "n_tokens",
+        F.round(F.col("mean_fp") / 1e6, 6).alias("mean_logprob"),
+        "bucket",
     )

@@ -3702,6 +3702,140 @@ GROUP BY doc_id
 """
 
 
+def q_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet head/middle/tail perplexity split: per-language unigram LM
+    scores bucketed by per-language tercile CUTOFFS (a window over the
+    distinct-score histogram + a hash join — never a per-language full
+    sort), Wenzek et al. 2020."""
+    from entity_matchers_spark.operators.web import ccnet_lm_buckets
+
+    return ccnet_lm_buckets(_docs(spark, sf_dir)).select(
+        F.col("id").alias("doc_id"), "lang", "n_tokens", "mean_logprob", "bucket"
+    )
+
+
+Q_CCNET_BUCKETS_SQL = r"""
+WITH base AS MATERIALIZED (
+  SELECT doc_id, lang,
+         list_filter(string_split_regex(lower(text), '\s+'), x -> x != '') AS ts
+  FROM documents
+),
+toks AS MATERIALIZED (
+  SELECT doc_id, lang, unnest(ts) AS tok FROM base
+),
+cnt AS MATERIALIZED (
+  SELECT lang, tok, count(*)::BIGINT AS c FROM toks GROUP BY lang, tok
+),
+lt AS (SELECT lang, sum(c)::BIGINT AS n_lang FROM cnt GROUP BY lang),
+weights AS MATERIALIZED (
+  SELECT lang, tok, round(ln(c / n_lang::DOUBLE) * 1e6)::BIGINT AS w_fp
+  FROM cnt JOIN lt USING (lang)
+),
+scored AS MATERIALIZED (
+  SELECT doc_id, lang, count(*)::BIGINT AS n_tokens,
+         sum(w_fp)::BIGINT / count(*) AS mean_fp
+  FROM toks JOIN weights USING (lang, tok)
+  GROUP BY doc_id, lang
+),
+dist AS MATERIALIZED (
+  SELECT lang, mean_fp, count(*)::BIGINT AS c FROM scored GROUP BY lang, mean_fp
+),
+cut AS MATERIALIZED (
+  SELECT lang, mean_fp,
+         sum(c) OVER (PARTITION BY lang ORDER BY mean_fp DESC
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - c
+           AS n_better,
+         sum(c) OVER (PARTITION BY lang) AS n_lang_docs
+  FROM dist
+)
+SELECT doc_id, lang, n_tokens, round(mean_fp / 1e6, 6) AS mean_logprob,
+       CASE WHEN 3 * n_better < n_lang_docs THEN 'head'
+            WHEN 3 * n_better < 2 * n_lang_docs THEN 'middle'
+            ELSE 'tail' END AS bucket
+FROM scored JOIN cut USING (lang, mean_fp)
+"""
+
+
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-5 retrieval: every 50th document is reused as a query
+    against the whole corpus (self-matches excluded); inverted-index probe
+    with fixed-point integer score sums."""
+    from entity_matchers_spark.operators.retrieval import bm25_topk
+
+    docs = _docs(spark, sf_dir)
+    queries = docs.where(F.col("doc_id") % 50 == 0).select(
+        F.col("doc_id").alias("query_id"), "text"
+    )
+    return bm25_topk(docs, queries, k=5)
+
+
+Q_BM25_TOPK_SQL = r"""
+WITH toks AS MATERIALIZED (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(lower(text), '\s+'), x -> x != '')) AS tok
+  FROM documents
+),
+tf AS MATERIALIZED (
+  SELECT doc_id, tok, count(*)::BIGINT AS tf FROM toks GROUP BY doc_id, tok
+),
+dl AS MATERIALIZED (SELECT doc_id, sum(tf)::BIGINT AS dl FROM tf GROUP BY doc_id),
+dft AS MATERIALIZED (SELECT tok, count(*)::BIGINT AS df FROM tf GROUP BY tok),
+stats AS (
+  SELECT count(*)::BIGINT AS n_docs, sum(dl) / count(*) AS avgdl FROM dl
+),
+posting AS MATERIALIZED (
+  SELECT tok, tf.doc_id AS id,
+         round(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+               * (tf * (1.2 + 1.0))
+               / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))
+               * 1e6)::BIGINT AS w_fp
+  FROM tf JOIN dl USING (doc_id) JOIN dft USING (tok) CROSS JOIN stats
+),
+qterms AS MATERIALIZED (
+  SELECT doc_id AS qid,
+         unnest(list_distinct(list_filter(string_split_regex(lower(text), '\s+'),
+                                          x -> x != ''))) AS tok
+  FROM documents WHERE doc_id % 50 = 0
+),
+hits AS MATERIALIZED (
+  SELECT qid, id, sum(w_fp)::BIGINT AS score_fp
+  FROM posting JOIN qterms USING (tok)
+  WHERE id != qid
+  GROUP BY qid, id
+)
+SELECT qid AS query_id, id AS doc_id,
+       row_number() OVER (PARTITION BY qid ORDER BY score_fp DESC, id) AS rank,
+       round(score_fp / 1e6, 6) AS score
+FROM hits
+QUALIFY rank <= 5
+"""
+
+
+def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE merge statistics: corpus-wide adjacent-token-pair counts, top 20
+    by frequency (one merge-selection step of BPE tokenizer training,
+    distributed)."""
+    from entity_matchers_spark.operators.text_analysis import bpe_merge_counts
+
+    return bpe_merge_counts(_docs(spark, sf_dir), top_n=20)
+
+
+Q_BPE_MERGES_SQL = r"""
+WITH base AS MATERIALIZED (
+  SELECT list_filter(string_split_regex(lower(text), '\s+'), x -> x != '') AS ts
+  FROM documents
+),
+pairs AS MATERIALIZED (
+  SELECT ts[i] || ' ' || ts[i + 1] AS pair
+  FROM base, unnest(range(1, len(ts))) AS t(i)
+),
+cnt AS (SELECT pair, count(*)::BIGINT AS cnt FROM pairs GROUP BY pair)
+SELECT row_number() OVER (ORDER BY cnt DESC, pair) AS rank, pair, cnt
+FROM cnt
+QUALIFY rank <= 20
+"""
+
+
 def q_nb_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trained quality classifier: multinomial Naive Bayes on whitespace
     tokens, fit on source-derived weak labels (md5(source) mod 4 == 0 is
@@ -3889,6 +4023,9 @@ GROUP BY ROLLUP (lang, source)
 # implementations — leaving them outside the cap loses no information.
 QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     # -- (0) new in this round-3 session
+    "ccnet_buckets": (q_ccnet_buckets, Q_CCNET_BUCKETS_SQL),
+    "bm25_topk": (q_bm25_topk, Q_BM25_TOPK_SQL),
+    "bpe_merges": (q_bpe_merges, Q_BPE_MERGES_SQL),
     "nb_quality": (q_nb_quality, Q_NB_QUALITY_SQL),
     "pack_sequences": (q_pack_sequences, Q_PACK_SEQUENCES_SQL),
     "global_shuffle": (q_global_shuffle, Q_GLOBAL_SHUFFLE_SQL),

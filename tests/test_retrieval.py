@@ -1,0 +1,87 @@
+"""BM25 retrieval and BPE merge statistics against scalar references."""
+
+import math
+
+import pytest
+
+from entity_matchers_spark.operators.retrieval import bm25_topk
+from entity_matchers_spark.operators.text_analysis import bpe_merge_counts
+
+
+def test_bm25_topk_hand_check(spark):
+    """4-doc corpus, one query: scores match a scalar BM25 (Lucene idf,
+    k1=1.2 b=0.75, fixed-point micro-point contributions), self-match
+    excluded, ties rank by doc_id."""
+    docs = [
+        (0, "cat dog cat"),
+        (1, "cat fish"),
+        (2, "dog dog dog bird"),
+        (3, "fish bird"),
+    ]
+    corpus = spark.createDataFrame(docs, "doc_id long, text string")
+    queries = spark.createDataFrame([(0, "cat dog")], "query_id long, text string")
+    out = bm25_topk(corpus, queries, k=3).collect()
+
+    # scalar reference
+    toks = {d: t.split() for d, t in docs}
+    tf = {d: {w: ts.count(w) for w in set(ts)} for d, ts in toks.items()}
+    dl = {d: len(ts) for d, ts in toks.items()}
+    n = len(docs)
+    avgdl = sum(dl.values()) / n
+    df = {}
+    for d in tf:
+        for w in tf[d]:
+            df[w] = df.get(w, 0) + 1
+
+    def w_fp(term, d):
+        idf = math.log(1.0 + (n - df[term] + 0.5) / (df[term] + 0.5))
+        num = tf[d][term] * (1.2 + 1.0)
+        den = tf[d][term] + 1.2 * (1.0 - 0.75 + 0.75 * dl[d] / avgdl)
+        return round(idf * num / den * 1e6)
+
+    expect = {}
+    for d in (1, 2, 3):  # doc 0 is the query itself -> excluded
+        s = sum(w_fp(t, d) for t in ("cat", "dog") if t in tf[d])
+        if s != 0:
+            expect[d] = s
+    order = sorted(expect, key=lambda d: (-expect[d], d))
+
+    assert [r["doc_id"] for r in out] == order
+    assert [r["rank"] for r in out] == list(range(1, len(order) + 1))
+    for r in out:
+        assert r["query_id"] == 0
+        assert abs(r["score"] - round(expect[r["doc_id"]] / 1e6, 6)) < 1e-12
+    # doc 2 (three 'dog') must beat doc 1 (one 'cat', saturated tf)
+    assert out[0]["doc_id"] == 2
+
+
+def test_bm25_excludes_self_and_respects_k(spark):
+    corpus = spark.createDataFrame(
+        [(i, "alpha beta") for i in range(6)], "doc_id long, text string"
+    )
+    queries = spark.createDataFrame([(0, "alpha")], "query_id long, text string")
+    out = bm25_topk(corpus, queries, k=2).collect()
+    assert len(out) == 2
+    assert all(r["doc_id"] != 0 for r in out)
+    # identical scores -> ties broken by ascending doc_id
+    assert [r["doc_id"] for r in out] == [1, 2]
+
+
+def test_bpe_merge_counts_hand_check(spark):
+    """Adjacent-pair counts over token arrays; top-n ordered by
+    (count desc, pair asc); single-token docs contribute nothing."""
+    docs = [
+        (0, "a b a b c"),  # pairs: a b, b a, a b, b c
+        (1, "a b"),        # a b
+        (2, "c"),          # no pairs
+        (3, "b c a"),      # b c, c a
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = bpe_merge_counts(df, top_n=10).collect()
+    got = [(r["rank"], r["pair"], r["cnt"]) for r in out]
+    assert got == [
+        (1, "a b", 3),
+        (2, "b c", 2),
+        (3, "b a", 1),
+        (4, "c a", 1),
+    ]

@@ -163,3 +163,54 @@ def test_url_filter_domain_and_keyword_rules(spark):
     assert rows[2]["blocked_domain"] == 1 and rows[2]["keep"] == 0
     assert rows[3]["blocked_domain"] == 0 and rows[3]["blocked_kw"] == 1 and rows[3]["keep"] == 0
     assert rows[4]["keep"] == 1
+
+
+def test_ccnet_lm_buckets_hand_check(spark):
+    """Per-language unigram LM in fixed-point micro-nats; tercile buckets
+    assigned by cutoff comparison (3*n_better vs n_lang_docs), ties share
+    a bucket; languages bucket independently."""
+    import math
+
+    from entity_matchers_spark.operators.web import ccnet_lm_buckets
+
+    docs = [
+        (0, "x x x x", "aa"),   # all common tokens -> highest logprob
+        (1, "x x y y", "aa"),
+        (2, "y z z q", "aa"),   # rare tokens -> lowest logprob
+        (3, "m m", "bb"),
+        (4, "m n", "bb"),
+        (5, "n n o", "bb"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string, lang string")
+    out = {r["id"]: r for r in ccnet_lm_buckets(df).collect()}
+
+    # scalar reference: per-lang unigram fit, micro-nat weights, cutoffs
+    by_lang: dict[str, list[tuple[int, list[str]]]] = {}
+    for d, t, lang in docs:
+        by_lang.setdefault(lang, []).append((d, t.split()))
+    expect: dict[int, tuple[float, str]] = {}
+    for lang, items in by_lang.items():
+        cnt: dict[str, int] = {}
+        for _, ts in items:
+            for t in ts:
+                cnt[t] = cnt.get(t, 0) + 1
+        n_lang = sum(cnt.values())
+        w = {t: round(math.log(c / n_lang) * 1e6) for t, c in cnt.items()}
+        means = {d: sum(w[t] for t in ts) / len(ts) for d, ts in items}
+        n_docs = len(items)
+        for d, ts in items:
+            n_better = sum(1 for m in means.values() if m > means[d])
+            bucket = (
+                "head"
+                if 3 * n_better < n_docs
+                else ("middle" if 3 * n_better < 2 * n_docs else "tail")
+            )
+            expect[d] = (round(means[d] / 1e6, 6), bucket)
+
+    assert set(out) == set(expect)
+    for d, (mean_lp, bucket) in expect.items():
+        assert out[d]["bucket"] == bucket, d
+        assert abs(out[d]["mean_logprob"] - mean_lp) < 1e-12
+    # sanity: the all-common-token doc heads its language, the rare one tails
+    assert out[0]["bucket"] == "head"
+    assert out[2]["bucket"] == "tail"
