@@ -57,6 +57,10 @@ HEADLINE = [
     "global_shuffle",
     "chunk_tokens",
     "corpus_rollup",
+    "nb_quality",
+    "ccnet_buckets",
+    "bm25_topk",
+    "bpe_merges",
 ]
 
 # Max allowed ``Exchange SinglePartition`` occurrences: pack_sequences owns
