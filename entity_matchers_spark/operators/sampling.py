@@ -245,3 +245,47 @@ def dsir_resample(
         F.round(F.col("logw") + g, 6).alias("key"),
     )
     return keyed.orderBy(F.col("key").desc(), F.col("id").asc()).limit(k)
+
+
+def temperature_mix(
+    df: DataFrame,
+    budget: int,
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    salt: str = "tmix:",
+) -> DataFrame:
+    """(id, source, copies): temperature-scaled source mixing — the
+    mT5/XLM-R recipe: a training budget of ``budget`` documents is split
+    across sources proportionally to n_s^0.5 (temperature exponent 0.5),
+    which upsamples low-resource sources and downsamples the head.
+
+    Per-source targets use ONLY integer arithmetic after one IEEE sqrt:
+    s_fp = round(sqrt(n_s) * 1e6) per source (sqrt is correctly rounded by
+    the IEEE 754 standard, so identical in any engine — an arbitrary pow()
+    would not be), target_s = budget * s_fp // sum(s_fp). Per-doc copies
+    then follow the epoch_upsample convention: floor(target/n) guaranteed
+    copies plus one extra when hash_uniform(id) < (target mod n)/n — an
+    expected-count fractional part that needs NO per-source sort, so a
+    90%-one-source crawl never funnels into a single window partition.
+    """
+    src = df.groupBy(F.col(source_col).alias("source")).agg(F.count("*").alias("n_s"))
+    s_fp = F.round(F.sqrt(F.col("n_s").cast("double")) * 1e6).cast("long")
+    src = src.withColumn("s_fp", s_fp)
+    tot = src.agg(F.sum("s_fp").alias("tot_fp"))
+    targets = src.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_s",
+        # integer division (div), never double-divide-then-truncate: a
+        # correctly-rounded double quotient can land on the wrong side of
+        # an integer boundary and disagree with another engine's // there
+        F.expr(f"(cast({int(budget)} as bigint) * s_fp) div tot_fp").alias("target"),
+    )
+    out = df.select(F.col(id_col).alias("id"), F.col(source_col).alias("source")).join(
+        F.broadcast(targets), "source"
+    )
+    base_copies = F.expr("target div n_s")
+    frac = (F.col("target") % F.col("n_s")) / F.col("n_s").cast("double")
+    extra = (hash_uniform(F.col("id"), salt) < frac).cast("int")
+    return out.select(
+        "id", "source", (base_copies + extra).cast("long").alias("copies")
+    )

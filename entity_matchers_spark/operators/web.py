@@ -400,3 +400,35 @@ def ccnet_lm_buckets(
         F.round(F.col("mean_fp") / 1e6, 6).alias("mean_logprob"),
         "bucket",
     )
+
+
+# --- crawl snapshot delta -------------------------------------------------------
+
+
+def crawl_delta(
+    new: DataFrame,
+    old: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(id, status): diff two crawl snapshots by content hash — the
+    incremental-ingestion primitive for monthly Common-Crawl-style dumps
+    (process only ``added``/``changed`` docs downstream; retire
+    ``removed`` ones from the index).
+
+    status ∈ {added, removed, changed, unchanged}. One full-outer join on
+    the id with md5 content digests computed map-side — at warehouse scale
+    both snapshots are bucketed on the id so this join is co-located and
+    shuffle-free (see sources' bucketed-table support); nothing else
+    shuffles.
+    """
+    n = new.select(F.col(id_col).alias("id"), F.md5(F.col(text_col)).alias("h_new"))
+    o = old.select(F.col(id_col).alias("id"), F.md5(F.col(text_col)).alias("h_old"))
+    return n.join(o, "id", "full_outer").select(
+        "id",
+        F.when(F.col("h_old").isNull(), F.lit("added"))
+        .when(F.col("h_new").isNull(), F.lit("removed"))
+        .when(F.col("h_new") != F.col("h_old"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+        .alias("status"),
+    )

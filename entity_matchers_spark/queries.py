@@ -3702,6 +3702,73 @@ GROUP BY doc_id
 """
 
 
+def q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled language mixing (mT5/XLM-R recipe): a 1000-doc
+    training budget split across languages ∝ n_lang^0.5, upsampling
+    low-resource languages; per-doc copy counts via integer targets +
+    hash-uniform fractional part (no per-language sort)."""
+    from entity_matchers_spark.operators.sampling import temperature_mix
+
+    return temperature_mix(
+        _docs(spark, sf_dir), budget=1000, source_col="lang"
+    ).select(F.col("id").alias("doc_id"), F.col("source").alias("lang"), "copies")
+
+
+Q_TEMPERATURE_MIX_SQL = r"""
+WITH src AS MATERIALIZED (
+  SELECT lang, count(*)::BIGINT AS n_s,
+         round(sqrt(count(*)::DOUBLE) * 1e6)::BIGINT AS s_fp
+  FROM documents GROUP BY lang
+),
+tot AS (SELECT sum(s_fp)::BIGINT AS tot_fp FROM src),
+targets AS MATERIALIZED (
+  SELECT lang, n_s, (1000::BIGINT * s_fp) // tot_fp AS target
+  FROM src CROSS JOIN tot
+)
+SELECT doc_id, lang,
+       (target // n_s
+        + (('0x' || substr(md5('tmix:' || doc_id), 1, 8))::UBIGINT / 4294967296.0
+           < (target % n_s) / n_s::DOUBLE)::INT)::BIGINT AS copies
+FROM documents JOIN targets USING (lang)
+"""
+
+
+def q_crawl_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl snapshot delta: diff a 'new' snapshot against an 'old' one by
+    content hash (both derived deterministically from the documents table:
+    old drops ids ≡3 mod 17, new drops ids ≡7 mod 19, old text reversed
+    for ids ≡5 mod 13 to plant 'changed' rows)."""
+    from entity_matchers_spark.operators.web import crawl_delta
+
+    docs = _docs(spark, sf_dir)
+    new = docs.where(F.col("doc_id") % 19 != 7)
+    old = docs.where(F.col("doc_id") % 17 != 3).withColumn(
+        "text",
+        F.when(F.col("doc_id") % 13 == 5, F.reverse(F.col("text"))).otherwise(
+            F.col("text")
+        ),
+    )
+    return crawl_delta(new, old).select(F.col("id").alias("doc_id"), "status")
+
+
+Q_CRAWL_DELTA_SQL = r"""
+WITH n AS MATERIALIZED (
+  SELECT doc_id, md5(text) AS h_new FROM documents WHERE doc_id % 19 != 7
+),
+o AS MATERIALIZED (
+  SELECT doc_id,
+         md5(CASE WHEN doc_id % 13 = 5 THEN reverse(text) ELSE text END) AS h_old
+  FROM documents WHERE doc_id % 17 != 3
+)
+SELECT doc_id,
+       CASE WHEN h_old IS NULL THEN 'added'
+            WHEN h_new IS NULL THEN 'removed'
+            WHEN h_new != h_old THEN 'changed'
+            ELSE 'unchanged' END AS status
+FROM n FULL OUTER JOIN o USING (doc_id)
+"""
+
+
 def q_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet head/middle/tail perplexity split: per-language unigram LM
     scores bucketed by per-language tercile CUTOFFS (a window over the
@@ -4023,6 +4090,8 @@ GROUP BY ROLLUP (lang, source)
 # implementations — leaving them outside the cap loses no information.
 QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     # -- (0) new in this round-3 session
+    "temperature_mix": (q_temperature_mix, Q_TEMPERATURE_MIX_SQL),
+    "crawl_delta": (q_crawl_delta, Q_CRAWL_DELTA_SQL),
     "ccnet_buckets": (q_ccnet_buckets, Q_CCNET_BUCKETS_SQL),
     "bm25_topk": (q_bm25_topk, Q_BM25_TOPK_SQL),
     "bpe_merges": (q_bpe_merges, Q_BPE_MERGES_SQL),

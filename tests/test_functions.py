@@ -578,3 +578,43 @@ def test_dup_passage_stats_shared_span(spark):
     assert out[4].n_grams == 0 and out[4].dup_frac == 0.0
     # doc1: grams = 3 ("one..five","two..alpha","three..beta"); only the first is shared
     assert abs(out[1].dup_frac - 1 / 3) < 1e-9
+
+
+def test_temperature_mix_hand_check(spark):
+    """Targets = budget * sqrt(n_s)*1e6 // sum, integer-exact; copies =
+    target//n guaranteed plus hash-uniform fractional extras; per-source
+    copies sum within [floor, ceil] expectation bounds."""
+    import hashlib
+    import math
+
+    from entity_matchers_spark.operators.sampling import temperature_mix
+
+    rows = [(i, "big") for i in range(90)] + [(90 + i, "small") for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = {r["id"]: r for r in temperature_mix(df, budget=100).collect()}
+
+    s_big, s_small = round(math.sqrt(90) * 1e6), round(math.sqrt(10) * 1e6)
+    tot = s_big + s_small
+    t_big, t_small = 100 * s_big // tot, 100 * s_small // tot
+
+    def u(i):
+        return int(hashlib.md5(f"tmix:{i}".encode()).hexdigest()[:8], 16) / 2**32
+
+    for i, src in rows:
+        n, t = (90, t_big) if src == "big" else (10, t_small)
+        want = t // n + int(u(i) < (t % n) / n)
+        assert out[i]["copies"] == want, (i, src)
+    # temperature 0.5 upsamples the small source, downsamples the big one
+    assert t_small > 10 and t_big < 90
+    assert sum(out[i]["copies"] for i in range(90, 100)) >= t_small // 10 * 10
+
+
+def test_temperature_mix_targets_partition_budget(spark):
+    """Sum of per-source targets never exceeds the budget (integer floor)."""
+    from entity_matchers_spark.operators.sampling import temperature_mix
+
+    rows = [(i, f"s{i % 7}") for i in range(70)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = temperature_mix(df, budget=35).collect()
+    # 7 equal sources -> equal targets of 5 each, exactly 35 expected copies
+    assert sum(r["copies"] for r in out) <= 35 + 7  # frac extras bounded by 1/src

@@ -214,3 +214,18 @@ def test_ccnet_lm_buckets_hand_check(spark):
     # sanity: the all-common-token doc heads its language, the rare one tails
     assert out[0]["bucket"] == "head"
     assert out[2]["bucket"] == "tail"
+
+
+def test_crawl_delta_statuses(spark):
+    """added / removed / changed / unchanged all classified correctly from
+    content hashes under a full-outer join."""
+    from entity_matchers_spark.operators.web import crawl_delta
+
+    new = spark.createDataFrame(
+        [(1, "same"), (2, "after"), (4, "brand new")], "doc_id long, text string"
+    )
+    old = spark.createDataFrame(
+        [(1, "same"), (2, "before"), (3, "gone")], "doc_id long, text string"
+    )
+    out = {r["id"]: r["status"] for r in crawl_delta(new, old).collect()}
+    assert out == {1: "unchanged", 2: "changed", 3: "removed", 4: "added"}
