@@ -10,7 +10,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from entity_matchers_spark.functions.hashing import MINHASH_PRIME
+from entity_matchers_spark.functions.hashing import MINHASH_PRIME, stable_hash32
 from entity_matchers_spark.functions.shingles import char_shingles, tokens
 
 # Tiny deterministic stopword marker sets per language — an n-gram/stopword
@@ -120,6 +120,29 @@ def fingerprint_mink(
     return fp.unionByName(empty)
 
 
+def _max_token_multiplicity(toks: Column) -> Column:
+    """Max multiplicity of any token = longest equal-run in the sorted
+    array — a per-row native expression (sort_array + aggregate), never an
+    explode/groupBy: a per-document statistic must not cost a full-corpus
+    token shuffle at 10^12 docs."""
+    acc0 = F.struct(
+        F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
+    )
+    return F.aggregate(
+        F.sort_array(toks),
+        acc0,
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)).alias("run"),
+            F.greatest(
+                acc["best"],
+                F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)),
+            ).alias("best"),
+        ),
+        lambda acc: acc["best"],
+    )
+
+
 def repetition_features(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
@@ -141,24 +164,7 @@ def repetition_features(
     t = F.col(text_col)
     toks = tokens(t)
     bigrams = token_shingles(t, n=2, distinct=False)
-    # max multiplicity of any token = longest equal-run in the sorted array
-    sorted_toks = F.sort_array(toks)
-    acc0 = F.struct(
-        F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
-    )
-    max_count = F.aggregate(
-        sorted_toks,
-        acc0,
-        lambda acc, x: F.struct(
-            x.alias("prev"),
-            F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)).alias("run"),
-            F.greatest(
-                acc["best"],
-                F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)),
-            ).alias("best"),
-        ),
-        lambda acc: acc["best"],
-    )
+    max_count = _max_token_multiplicity(toks)
     return df.select(
         F.col(id_col).alias("id"),
         F.size(toks).alias("n_tokens"),
@@ -440,4 +446,131 @@ def bpe_merge_counts(
         cnt.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= top_n)
         .select("rank", "pair", "cnt")
+    )
+
+
+def winnowing_fingerprints(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 7,
+    w: int = 8,
+) -> DataFrame:
+    """(id, pos, fp): winnowing document fingerprints (Schleimer et al.
+    2003 — the MOSS scheme): hash every character ``k``-gram, slide a
+    ``w``-wide window over the hash sequence, keep each window's minimum
+    (RIGHTMOST position on ties, the paper's robust-winnowing rule), and
+    deduplicate. Guarantees every ``w+k-1``-char match between two docs
+    shares a fingerprint, at expected density 2/(w+1) — the positional
+    complement of :func:`fingerprint_mink`'s bottom-k sketch.
+
+    Plan shape: posexplode of the positional gram array → one window
+    min over each doc's hash sequence (partitioned BY DOC — per-doc
+    sequences are KB-bounded, so the sort never sees corpus-scale data)
+    → an equi-join of window minima back to gram positions on
+    (id, hash) for the rightmost-tie argmax → one distinct. Docs with
+    fewer than ``w`` grams emit the min of what they have (one window).
+    All integers end to end — engine-exact.
+    """
+    grams = char_shingles(F.lower(F.col(text_col)), k, distinct=False)
+    g = df.select(
+        F.col(id_col).alias("id"), F.posexplode(grams).alias("pos", "gram")
+    ).select("id", "pos", stable_hash32(F.col("gram")).alias("h"))
+
+    wspec = Window.partitionBy("id").orderBy("pos").rowsBetween(0, w - 1)
+    whole = Window.partitionBy("id")
+    wins = g.select(
+        "id",
+        F.col("pos").alias("start"),
+        F.min("h").over(wspec).alias("win_min"),
+        F.count("*").over(whole).alias("n_grams"),
+    ).where(
+        (F.col("start") <= F.col("n_grams") - w)
+        | ((F.col("n_grams") < w) & (F.col("start") == 0))
+    )
+
+    sel = (
+        wins.alias("w")
+        .join(
+            g.alias("g"),
+            (F.col("w.id") == F.col("g.id"))
+            & (F.col("g.h") == F.col("w.win_min"))
+            & (F.col("g.pos") >= F.col("w.start"))
+            & (F.col("g.pos") <= F.col("w.start") + (w - 1)),
+        )
+        .groupBy(F.col("w.id").alias("id"), F.col("w.start"), F.col("w.win_min"))
+        .agg(F.max(F.col("g.pos")).alias("pos"))
+    )
+    return sel.select("id", "pos", F.col("win_min").alias("fp")).distinct()
+
+
+def gopher_filter(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_tokens: int = 25,
+    max_tokens: int = 100_000,
+    min_mean_len: float = 3.0,
+    max_mean_len: float = 10.0,
+    max_top_share: float = 0.12,
+    max_dup_bigrams: float = 0.05,
+) -> DataFrame:
+    """(id, n_tokens, fail_*, keep): the Gopher/C4 rule-based quality
+    filter (Rae et al. 2021 §A1.1) as a single decision pass with
+    PER-RULE PROVENANCE — each rule emits its own 0/1 ``fail_`` flag so a
+    pipeline can report *why* documents were dropped, not just how many:
+
+    - ``fail_tokens``: token count outside [min_tokens, max_tokens];
+    - ``fail_mean_len``: mean token length outside [min_mean_len,
+      max_mean_len] (Gopher: 3..10);
+    - ``fail_stop``: no stop words at all (Gopher's "≥ 2 stop words"
+      English-evidence rule, scaled to the tiny marker set);
+    - ``fail_rep_token``: top-token mass > max_top_share;
+    - ``fail_rep_bigram``: duplicate-bigram fraction > max_dup_bigrams;
+    - ``keep`` = 1 iff every rule passes.
+
+    All signals are computed in ONE whole-stage-codegen projection
+    (array expressions per row — no explode, no join, no shuffle): the
+    filter runs at scan speed on 10^12 docs. Thresholds compare doubles
+    derived from per-doc integers, so decisions are engine-exact.
+    """
+    from entity_matchers_spark.functions.shingles import token_shingles, tokens
+
+    t = F.col(text_col)
+    toks = tokens(t)
+    n = F.size(toks)
+    n_chars = F.length(t)
+    mean_len = F.when(n == 0, F.lit(0.0)).otherwise(
+        (n_chars - n + 1) / n.cast("double")
+    )
+    bigrams = token_shingles(t, n=2, distinct=False)
+    top_share = F.when(n <= 0, F.lit(0.0)).otherwise(
+        _max_token_multiplicity(toks) / n.cast("double")
+    )
+    dup_frac = F.when(F.size(bigrams) <= 0, F.lit(0.0)).otherwise(
+        1.0 - F.size(F.array_distinct(bigrams)) / F.size(bigrams).cast("double")
+    )
+    stop = _marker_ratio(toks, LANG_MARKERS["en"])
+
+    fail_tokens = ((n < min_tokens) | (n > max_tokens)).cast("int")
+    fail_mean_len = ((mean_len < min_mean_len) | (mean_len > max_mean_len)).cast("int")
+    fail_stop = (stop == 0.0).cast("int")
+    fail_rep_token = (top_share > max_top_share).cast("int")
+    fail_rep_bigram = (dup_frac > max_dup_bigrams).cast("int")
+    keep = (
+        (fail_tokens == 0)
+        & (fail_mean_len == 0)
+        & (fail_stop == 0)
+        & (fail_rep_token == 0)
+        & (fail_rep_bigram == 0)
+    ).cast("int")
+    return df.select(
+        F.col(id_col).alias("id"),
+        n.alias("n_tokens"),
+        fail_tokens.alias("fail_tokens"),
+        fail_mean_len.alias("fail_mean_len"),
+        fail_stop.alias("fail_stop"),
+        fail_rep_token.alias("fail_rep_token"),
+        fail_rep_bigram.alias("fail_rep_bigram"),
+        keep.alias("keep"),
     )

@@ -3702,6 +3702,101 @@ GROUP BY doc_id
 """
 
 
+def q_gopher_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/C4 rule-based quality filter with per-rule provenance flags
+    (token count, mean token length, stop-word evidence, top-token mass,
+    duplicate-bigram fraction), one codegen projection, no shuffle."""
+    from entity_matchers_spark.operators.text_analysis import gopher_filter
+
+    return gopher_filter(_docs(spark, sf_dir)).select(
+        F.col("id").alias("doc_id"),
+        "n_tokens",
+        "fail_tokens",
+        "fail_mean_len",
+        "fail_stop",
+        "fail_rep_token",
+        "fail_rep_bigram",
+        "keep",
+    )
+
+
+Q_GOPHER_FILTER_SQL = r"""
+WITH tk AS MATERIALIZED (
+  SELECT doc_id, len(text) AS n_chars,
+         list_filter(string_split_regex(lower(text), '\s+'), x -> x != '') AS t
+  FROM documents
+),
+tts AS MATERIALIZED (
+  SELECT doc_id, max(c)::BIGINT AS max_c FROM (
+    SELECT doc_id, tok, count(*) AS c
+    FROM (SELECT doc_id, unnest(t) AS tok FROM tk) GROUP BY doc_id, tok
+  ) GROUP BY doc_id
+),
+base AS (
+  SELECT doc_id, len(t) AS n_tokens,
+    CASE WHEN len(t) = 0 THEN 0.0
+         ELSE (n_chars - len(t) + 1) / len(t)::DOUBLE END AS mean_len,
+    CASE WHEN len(t) < 2 THEN 0.0
+         ELSE 1.0 - len(list_distinct([t[i] || ' ' || t[i+1] for i in range(1, len(t))]))
+                    / (len(t) - 1)::DOUBLE END AS dup_frac,
+    len(list_filter(t, x -> list_contains(['the','and','of','to','a','in','is','that'], x)))
+      AS stop_hits,
+    coalesce(max_c, 0) AS max_c
+  FROM tk LEFT JOIN tts USING (doc_id)
+)
+SELECT doc_id, n_tokens, fail_tokens, fail_mean_len, fail_stop,
+       fail_rep_token, fail_rep_bigram,
+       (fail_tokens = 0 AND fail_mean_len = 0 AND fail_stop = 0
+        AND fail_rep_token = 0 AND fail_rep_bigram = 0)::INT AS keep
+FROM (
+  SELECT doc_id, n_tokens,
+    (n_tokens < 25 OR n_tokens > 100000)::INT AS fail_tokens,
+    (mean_len < 3.0 OR mean_len > 10.0)::INT AS fail_mean_len,
+    (stop_hits = 0)::INT AS fail_stop,
+    ((CASE WHEN n_tokens <= 0 THEN 0.0
+           ELSE max_c / n_tokens::DOUBLE END) > 0.12)::INT AS fail_rep_token,
+    (dup_frac > 0.05)::INT AS fail_rep_bigram
+  FROM base
+)
+"""
+
+
+def q_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprints (MOSS, Schleimer et al. 2003): 7-gram
+    hashes, window w=8, rightmost-min per window, deduped — guarantees
+    any 14-char overlap between docs shares a fingerprint."""
+    from entity_matchers_spark.operators.text_analysis import winnowing_fingerprints
+
+    return winnowing_fingerprints(_docs(spark, sf_dir), k=7, w=8).select(
+        F.col("id").alias("doc_id"), "pos", "fp"
+    )
+
+
+Q_WINNOWING_SQL = r"""
+WITH g AS MATERIALIZED (
+  SELECT doc_id AS id, i - 1 AS pos,
+         ('0x' || substr(md5(substr(t, i, 7)), 1, 8))::UBIGINT::BIGINT AS h
+  FROM (SELECT doc_id, lower(text) AS t FROM documents),
+       unnest(range(1, len(t) - 7 + 2)) AS u(i)
+),
+wins AS MATERIALIZED (
+  SELECT id, pos AS start,
+         min(h) OVER (PARTITION BY id ORDER BY pos
+                      ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS win_min,
+         count(*) OVER (PARTITION BY id) AS n_grams
+  FROM g
+  QUALIFY start <= n_grams - 8 OR (n_grams < 8 AND start = 0)
+),
+sel AS MATERIALIZED (
+  SELECT w.id, w.start, w.win_min, max(g.pos) AS pos
+  FROM wins w JOIN g ON g.id = w.id AND g.h = w.win_min
+                     AND g.pos BETWEEN w.start AND w.start + 7
+  GROUP BY w.id, w.start, w.win_min
+)
+SELECT DISTINCT id AS doc_id, pos, win_min AS fp FROM sel
+"""
+
+
 def q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temperature-scaled language mixing (mT5/XLM-R recipe): a 1000-doc
     training budget split across languages ∝ n_lang^0.5, upsampling
@@ -4090,6 +4185,8 @@ GROUP BY ROLLUP (lang, source)
 # implementations — leaving them outside the cap loses no information.
 QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     # -- (0) new in this round-3 session
+    "gopher_filter": (q_gopher_filter, Q_GOPHER_FILTER_SQL),
+    "winnowing": (q_winnowing, Q_WINNOWING_SQL),
     "temperature_mix": (q_temperature_mix, Q_TEMPERATURE_MIX_SQL),
     "crawl_delta": (q_crawl_delta, Q_CRAWL_DELTA_SQL),
     "ccnet_buckets": (q_ccnet_buckets, Q_CCNET_BUCKETS_SQL),

@@ -82,3 +82,34 @@ def test_curation_stages_and_resume(spark, corpus, tmp_path_factory):
 
     shutil.rmtree(root_a, ignore_errors=True)
     shutil.rmtree(root_b, ignore_errors=True)
+
+
+def test_gopher_filter_rule_provenance(spark):
+    """Each Gopher rule fires on a doc engineered to fail exactly it;
+    a clean doc keeps=1; flags compose into keep correctly."""
+    from entity_matchers_spark.operators.text_analysis import gopher_filter
+
+    good = "the quick brown fox jumps over a lazy dog near the old red barn " * 2
+    docs = [
+        (0, good),                                  # passes everything
+        (1, "the cat sat"),                         # too few tokens
+        (2, "the " + "cat " * 39),                  # top-token mass (cat 39/40)
+        (3, ("the dog ran " * 14)),                 # duplicate bigrams
+        (4, "zz " * 30),                            # no stop words + rep fails
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {
+        r["id"]: r
+        for r in gopher_filter(
+            df, min_tokens=10, max_top_share=0.3, max_dup_bigrams=0.5
+        ).collect()
+    }
+    assert out[0]["keep"] == 1 and all(
+        out[0][c] == 0
+        for c in ("fail_tokens", "fail_mean_len", "fail_stop",
+                  "fail_rep_token", "fail_rep_bigram")
+    )
+    assert out[1]["fail_tokens"] == 1 and out[1]["keep"] == 0
+    assert out[2]["fail_rep_token"] == 1 and out[2]["keep"] == 0
+    assert out[3]["fail_rep_bigram"] == 1 and out[3]["keep"] == 0
+    assert out[4]["fail_stop"] == 1 and out[4]["keep"] == 0

@@ -85,3 +85,46 @@ def test_bpe_merge_counts_hand_check(spark):
         (3, "b a", 1),
         (4, "c a", 1),
     ]
+
+
+def test_winnowing_fingerprints_hand_check(spark):
+    """Scalar winnowing reference: k-gram md5 hashes, w-window minima,
+    rightmost tie rule, dedup. Also: the guarantee that two docs sharing
+    a (w+k-1)-char substring share a fingerprint."""
+    import hashlib
+
+    from entity_matchers_spark.operators.text_analysis import winnowing_fingerprints
+
+    k, w = 3, 4
+    docs = [
+        (0, "abcdefghijkl"),
+        (1, "zzzzzzzz"),          # all identical grams -> ties everywhere
+        (2, "xy"),                # shorter than k -> no grams, no rows
+        (3, "qrabcdefgh"),        # shares 'abcdefgh' (w+k-1=6+ chars) with doc 0
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = winnowing_fingerprints(df, k=k, w=w).collect()
+    got = {(r["id"], r["pos"], r["fp"]) for r in out}
+
+    def h(g):
+        return int(hashlib.md5(g.encode()).hexdigest()[:8], 16)
+
+    expect = set()
+    for d, t in docs:
+        t = t.lower()
+        hs = [h(t[i : i + k]) for i in range(len(t) - k + 1)]
+        n = len(hs)
+        if n == 0:
+            continue
+        starts = range(max(n - w + 1, 1)) if n >= w else [0]
+        for s in starts:
+            win = hs[s : s + w]
+            m = min(win)
+            pos = max(i for i in range(s, min(s + w, n)) if hs[i] == m)
+            expect.add((d, pos, m))
+    assert got == expect
+    assert not any(r["id"] == 2 for r in out)
+    # shared-substring guarantee: docs 0 and 3 share at least one fp value
+    fps0 = {fp for d, _, fp in got if d == 0}
+    fps3 = {fp for d, _, fp in got if d == 3}
+    assert fps0 & fps3

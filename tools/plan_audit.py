@@ -61,6 +61,10 @@ HEADLINE = [
     "ccnet_buckets",
     "bm25_topk",
     "bpe_merges",
+    "temperature_mix",
+    "crawl_delta",
+    "winnowing",
+    "gopher_filter",
 ]
 
 # Max allowed ``Exchange SinglePartition`` occurrences: pack_sequences owns
