@@ -2578,10 +2578,30 @@ def q_imuse_attr_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.select("type_a", "type_b").distinct()
         .withColumn("tr", levenshtein_ratio("type_a", "type_b"))
     )
-    score = (levenshtein_ratio("name_a", "name_b") + F.col("tr")) / 2
+    # Banded levenshtein: keeping a pair needs score >= 0.6, i.e.
+    # name_ratio >= 1.2 - tr, i.e. d <= mx*(tr-0.2). Passing that bound
+    # (plus a 2-unit margin that also absorbs the 9-dp rounding of the
+    # final score) as the builtin's per-row threshold switches the name
+    # comparison from the full O(len^2) DP to an O(len*band) band with an
+    # O(1) length-difference early-exit — and for low-tr pairs (most of
+    # the cross product) the band is a few cells wide. A -1 sentinel means
+    # d > mx*(tr-0.2)+1, hence score <= 0.6 - 1/(2*mx): strictly below the
+    # cut even after rounding. Surviving rows carry the EXACT distance, so
+    # the emitted score is bit-identical to the unbanded expression.
+    mx = F.greatest(F.length("name_a"), F.length("name_b"))
+    band = F.greatest(
+        F.floor(mx.cast("double") * (F.col("tr") - F.lit(0.2))).cast("int") + F.lit(2),
+        F.lit(1),
+    )
+    nr = F.when(mx == 0, F.lit(1.0)).otherwise(
+        1.0 - F.col("_d") / mx.cast("double")
+    )
     return (
         pairs.join(F.broadcast(tdict), ["type_a", "type_b"])
-        .withColumn("score", F.round(score, 9))
+        .withColumn("_band", band)
+        .withColumn("_d", F.expr("levenshtein(name_a, name_b, _band)"))
+        .where(F.col("_d") >= 0)
+        .withColumn("score", F.round((nr + F.col("tr")) / 2, 9))
         .where(F.col("score") >= 0.6)
         .select("id_a", "id_b", "score")
     )
