@@ -18,6 +18,28 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def _bipartite_node_exprs(scored: DataFrame):
+    """(u_expr, v_expr) collision-free node ids for the bipartite candidate
+    graph over (id_a, id_b). Integral id columns get the 2a / 2b+1 long
+    encoding — connected-components labels, joins and shuffles then move
+    8-byte longs instead of tagged strings — with a string-concat fallback
+    for any other id type."""
+    from pyspark.sql.types import ByteType, IntegerType, LongType, ShortType
+
+    integral = (ByteType, ShortType, IntegerType, LongType)
+    ta = scored.schema["id_a"].dataType
+    tb = scored.schema["id_b"].dataType
+    if isinstance(ta, integral) and isinstance(tb, integral):
+        return (
+            F.col("id_a").cast("long") * 2,
+            F.col("id_b").cast("long") * 2 + 1,
+        )
+    return (
+        F.concat(F.lit("A:"), F.col("id_a").cast("string")),
+        F.concat(F.lit("B:"), F.col("id_b").cast("string")),
+    )
+
+
 def best_per_side(scored: DataFrame, side: str, score_col: str = "score") -> DataFrame:
     """Argmax over the other side for each id on ``side`` ('a' or 'b'),
     deterministic tie-break on the partner id ascending."""
@@ -247,11 +269,12 @@ def stable_marriage_components(
 
     from entity_matchers_spark.operators.clustering import connected_components
 
+    u_expr, v_expr = _bipartite_node_exprs(scored)
     edges = scored.select(
         "id_a", "id_b", F.col(score_col).alias("score")
-    ).withColumn("u", F.concat(F.lit("A:"), F.col("id_a").cast("string")))
+    ).withColumn("u", u_expr)
     comp = connected_components(
-        edges.withColumn("v", F.concat(F.lit("B:"), F.col("id_b").cast("string"))),
+        edges.withColumn("v", v_expr),
         src="u",
         dst="v",
     )
@@ -518,14 +541,12 @@ def mwgm_exact(
 
     from entity_matchers_spark.operators.clustering import connected_components
 
-    edges = scored.select(
-        F.concat(F.lit("A:"), F.col("id_a").cast("string")).alias("u"),
-        F.concat(F.lit("B:"), F.col("id_b").cast("string")).alias("v"),
-    )
+    u_expr, v_expr = _bipartite_node_exprs(scored)
+    edges = scored.select(u_expr.alias("u"), v_expr.alias("v"))
     comp = connected_components(edges, src="u", dst="v")
     pairs = (
         scored.select("id_a", "id_b", F.col(score_col).alias("score"))
-        .withColumn("u", F.concat(F.lit("A:"), F.col("id_a").cast("string")))
+        .withColumn("u", u_expr)
         .join(comp.withColumnRenamed("id", "u"), "u")
         .drop("u")
     )
