@@ -397,6 +397,13 @@ def salted_candidate_pairs(
         "block_id", "id", "_ci",
         F.explode(F.sequence(F.lit(0), F.col("_ci"))).alias("_i"),
     ).select("block_id", F.col("id").alias("id_b"), "_i", F.col("_ci").alias("_j"))
+    # The cell join's INPUTS are small in bytes (ids + two ints) while its
+    # OUTPUT is the full pair explosion, so AQE's byte-based coalescing
+    # funnels the explosion into a couple of tasks; spread the cells across
+    # the cluster explicitly before joining (measured 14.6s -> 8.0s on the
+    # same 9.45M-pair input at local[32]).
+    sc = blocks.sparkSession.sparkContext
+    left = left.repartition(3 * sc.defaultParallelism, "block_id", "_i", "_j")
     joined = left.join(right, ["block_id", "_i", "_j"])
     # cross-chunk cells (i<j) hold each pair exactly once but in chunk
     # order, not id order — normalize with least/greatest; same-chunk cells
