@@ -52,22 +52,26 @@ import pandas as pd
 _POPCOUNT16 = np.array([bin(i).count("1") for i in range(1 << 16)], dtype=np.uint16)
 
 
-def _pack_bitmap_udf(width_bytes: int):
-    """pandas UDF: array<int> of dense gram ids -> fixed-width bitmap bytes.
-    Runs once per DOCUMENT (not per pair), so the per-row loop is bounded
-    by corpus size, never candidate count."""
+def _pack_bitmap_from_grams_udf(width_bytes: int, vocab_bc):
+    """pandas UDF: array<bigint> of hashed grams -> fixed-width bitmap
+    bytes, numbering each gram by its rank in the broadcast sorted vocab
+    (``searchsorted`` — the same ascending-g order the former relabeling
+    join produced). Runs once per DOCUMENT (not per pair), so the per-row
+    loop is bounded by corpus size, never candidate count."""
     from pyspark.sql.functions import pandas_udf
     from pyspark.sql.types import BinaryType
 
     nbits = width_bytes * 8
 
     @pandas_udf(BinaryType())
-    def _pack(gids: pd.Series) -> pd.Series:
+    def _pack(grams: pd.Series) -> pd.Series:
+        vocab = vocab_bc.value
         out = []
-        for arr in gids:
+        for arr in grams:
             bits = np.zeros(nbits, dtype=np.uint8)
             if arr is not None and len(arr):
-                bits[np.asarray(arr, dtype=np.int64)] = 1
+                gids = np.searchsorted(vocab, np.asarray(arr, dtype=np.int64))
+                bits[gids] = 1
             out.append(np.packbits(bits).tobytes())
         return pd.Series(out)
 
@@ -200,18 +204,25 @@ def _exact_jaccard_verify(
       ~100x cheaper than the per-pair merge.
     - else: sorted-hash arrays + the vectorized merge kernel.
     Both paths compute identical integer counts -> identical Jaccard, so
-    callers' oracles are representation-independent. The two driver-side
-    scalars fetched here (doc/gram counts, vocab size) are physical-plan
-    decisions, the same role AQE's runtime statistics play.
+    callers' oracles are representation-independent. The driver-side
+    fetches here (doc/gram counts, the vocab-size sketch, and — on the
+    bitmap path only — the vocab itself, capped at ``max_bitmap_vocab``
+    entries by the decision it serves) are physical-plan decisions plus a
+    bounded broadcast build, the same role AQE's runtime statistics play.
     """
-    from pyspark.sql import Window
-
     sc = cands.sparkSession.sparkContext
     cands = cands.repartition(3 * sc.defaultParallelism, "id_a", "id_b")
     e = grams_arr.select("id", F.explode("grams").alias("g"))
     if dfreq is None:
-        dfreq = e.groupBy("g").agg(F.count("*").alias("df"))
-    vocab_size = dfreq.count()
+        # The vocab size only steers the representation choice; a one-pass
+        # sketch (no shuffle) is enough for that, and the exact dfreq table
+        # — only needed to NUMBER the vocab — is built inside the bitmap
+        # branch, so the (common) array path never pays a groupBy over the
+        # full gram explode just to be told it doesn't need one. The ±rsd
+        # fuzz moves a physical-plan boundary, never a result.
+        vocab_size = int(e.agg(F.approx_count_distinct("g")).first()[0])
+    else:
+        vocab_size = dfreq.count()
     stats = grams_arr.agg(
         F.count("*").alias("n_docs"),
         F.coalesce(F.sum("sz"), F.lit(0)).alias("total_grams"),
@@ -228,21 +239,34 @@ def _exact_jaccard_verify(
         return F.broadcast(df) if rep_bytes <= broadcast_bytes_cap else df
 
     if use_bitmap:
-        vocab = dfreq.select(
-            "g",
-            (F.row_number().over(Window.orderBy("g")) - 1).alias("gid"),
+        # The sketch (or the caller's dfreq count) CHOSE the representation;
+        # the bitmap itself is built from the EXACT vocabulary, collected
+        # once — the decision above bounds it near max_bitmap_vocab, so the
+        # driver footprint is a few MB by construction — and shipped as a
+        # broadcast sorted array. gid = searchsorted(vocab, gram) replicates
+        # the ascending-g numbering with no relabeling shuffle: the previous
+        # explode→join→groupBy→collect_list chain was most of this
+        # function's scheduler wall. Re-check the decision with the exact
+        # size (the sketch can undershoot) before committing to the width.
+        src = dfreq.select("g") if dfreq is not None else e.select("g").distinct()
+        vocab_arr = np.sort(
+            np.fromiter((r[0] for r in src.collect()), dtype=np.int64)
         )
-        gids = (
-            e.join(F.broadcast(vocab), "g")
-            .groupBy("id")
-            .agg(F.collect_list("gid").alias("gids"))
+        vocab_size = int(vocab_arr.size)
+        width_bytes = max(2, -(-vocab_size // 16) * 2)
+        rep_bytes = n_docs * width_bytes
+        use_bitmap = (
+            vocab_size <= max_bitmap_vocab and n_docs * width_bytes <= 2 * gram_bytes
         )
-        bitmaps = gids.select(
-            "id", _pack_bitmap_udf(width_bytes)(F.col("gids")).alias("bm")
-        ).join(grams_arr.select("id", "sz"), "id")
+    if use_bitmap:
+        vocab_bc = sc.broadcast(vocab_arr)
         # both join sides (ba, bb) read this table: materialize the pack-UDF
         # pass once instead of once per side
-        bitmaps = bitmaps.localCheckpoint()
+        bitmaps = grams_arr.select(
+            "id",
+            _pack_bitmap_from_grams_udf(width_bytes, vocab_bc)(F.col("grams")).alias("bm"),
+            "sz",
+        ).localCheckpoint()
         ba = bitmaps.select(F.col("id").alias("id_a"), F.col("bm").alias("bm_a"), F.col("sz").alias("sz_a"))
         bb = bitmaps.select(F.col("id").alias("id_b"), F.col("bm").alias("bm_b"), F.col("sz").alias("sz_b"))
         jac = _bitmap_jaccard_udf()
