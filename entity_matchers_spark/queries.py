@@ -4193,6 +4193,137 @@ GROUP BY ROLLUP (lang, source)
 """
 
 
+def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable HLL distinct-count sketch (p=12) over events.user_id:
+    per-event_type estimates PLUS a '__all__' row proving mergeability —
+    the global estimate is rolled up from the per-type register tables by
+    max-per-register, never rescanning the events (the reference's
+    blocking-coverage audit, process_blocking_result.py, made feasible at
+    corpus scale)."""
+    from entity_matchers_spark.operators.sketches import (
+        hll_estimate,
+        hll_merge,
+        hll_registers,
+    )
+
+    ev = _read(spark, sf_dir, "events")
+    # Registers computed ONCE; the merged/global sketch derives from them.
+    regs = hll_registers(ev, "user_id", ["event_type"]).localCheckpoint(eager=True)
+    per_type = hll_estimate(regs, ["event_type"]).select(
+        F.col("event_type").alias("grp"), "est_distinct"
+    )
+    merged = hll_merge(regs.withColumn("grp", F.lit("__all__")), ["grp"])
+    return per_type.unionByName(hll_estimate(merged, ["grp"]))
+
+
+def _build_hll_sql() -> str:
+    from entity_matchers_spark.operators.sketches import hll_sql
+
+    per_type = hll_sql("events", "user_id", "event_type", "grp")
+    merged = hll_sql("events", "user_id", "'__all__'", "grp")
+    return f"SELECT * FROM ({per_type}) UNION ALL SELECT * FROM ({merged})"
+
+
+def q_events_asof_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of join: every non-signup event enriched with the same
+    user's most recent signup at-or-before it (the reference's
+    incremental-alignment 'latest prior dataset version' lookup,
+    run_experiment.py:61-87, as one DataFrame operator). Single shuffle on
+    user_id — no range predicate reaches the planner. Oracle is DuckDB's
+    NATIVE ASOF LEFT JOIN: a fully independent algorithm."""
+    from entity_matchers_spark.operators.temporal import asof_join
+
+    ev = _read(spark, sf_dir, "events")
+    left = ev.where(F.col("event_type") != "signup").select(
+        "event_id", "user_id", "ts"
+    )
+    right = (
+        ev.where(F.col("event_type") == "signup")
+        .groupBy("user_id", "ts")
+        .agg(F.round(F.max("value"), 6).alias("signup_value"))
+        .withColumn("signup_ts", F.col("ts"))
+    )
+    out = asof_join(
+        left,
+        right,
+        on="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        payload_cols=["signup_ts", "signup_value"],
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ev_us"),
+        F.unix_micros(F.col("signup_ts").cast("timestamp")).alias("signup_us"),
+        "signup_value",
+    )
+
+
+Q_EVENTS_ASOF_SQL = r"""
+WITH l AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type != 'signup'
+),
+r AS (
+  SELECT user_id, ts, round(max(value), 6) AS signup_value
+  FROM events WHERE event_type = 'signup' GROUP BY 1, 2
+)
+SELECT l.event_id, l.user_id, epoch_us(l.ts) AS ev_us,
+       epoch_us(r.ts) AS signup_us, r.signup_value
+FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+"""
+
+
+def q_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap join without a range join: view-events vs
+    error-events per user, each an epoch-second interval
+    [ts, ts + 60 + event_id % 997]; bucketed-decomposition equi-join
+    (512 s buckets) + exact residual + first-shared-bucket dedup guard.
+    The oracle is the naive range join — feasible at sf0.01, a cartesian
+    scan at scale, which is exactly why the operator exists."""
+    from entity_matchers_spark.operators.temporal import interval_overlap_join
+
+    ev = _read(spark, sf_dir, "events")
+    base = ev.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.expr("unix_micros(cast(ts as timestamp)) div 1000000").alias("s"),
+        (
+            F.expr("unix_micros(cast(ts as timestamp)) div 1000000")
+            + 60
+            + F.col("event_id") % 997
+        ).alias("e"),
+    )
+    a = base.where(F.col("event_type") == "view").select(
+        F.col("event_id").alias("a_id"), "user_id", F.col("s").alias("a_s"),
+        F.col("e").alias("a_e"),
+    )
+    b = base.where(F.col("event_type") == "error").select(
+        F.col("event_id").alias("b_id"), "user_id", F.col("s").alias("b_s"),
+        F.col("e").alias("b_e"),
+    )
+    out = interval_overlap_join(
+        a, b, "a_s", "a_e", "b_s", "b_e", bucket_seconds=512, keys=["user_id"]
+    )
+    return out.select("a_id", "b_id", "user_id")
+
+
+Q_INTERVAL_OVERLAP_SQL = r"""
+WITH iv AS MATERIALIZED (
+  SELECT event_id, user_id, event_type,
+         epoch_us(ts) // 1000000 AS s,
+         epoch_us(ts) // 1000000 + 60 + event_id % 997 AS e
+  FROM events WHERE event_type IN ('view', 'error')
+)
+SELECT a.event_id AS a_id, b.event_id AS b_id, a.user_id
+FROM iv a JOIN iv b
+  ON a.user_id = b.user_id
+ AND a.event_type = 'view' AND b.event_type = 'error'
+ AND a.s <= b.e AND b.s <= a.e
+"""
+
+
 # ---------------------------------------------------------------------------
 
 # Registry order is GATE-AWARE: the driver's correctness file records only
@@ -4205,6 +4336,9 @@ GROUP BY ROLLUP (lang, source)
 # implementations — leaving them outside the cap loses no information.
 QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     # -- (0) new in this round-3 session
+    "hll_distinct": (q_hll_distinct, _build_hll_sql()),
+    "events_asof_enrich": (q_events_asof_enrich, Q_EVENTS_ASOF_SQL),
+    "interval_overlap": (q_interval_overlap, Q_INTERVAL_OVERLAP_SQL),
     "gopher_filter": (q_gopher_filter, Q_GOPHER_FILTER_SQL),
     "winnowing": (q_winnowing, Q_WINNOWING_SQL),
     "temperature_mix": (q_temperature_mix, Q_TEMPERATURE_MIX_SQL),

@@ -1,0 +1,112 @@
+"""HLL sketch and temporal-join operators: accuracy, merge algebra, and
+brute-force equivalence (the registry oracles check engine parity; these
+check the operators against first-principles references)."""
+
+from __future__ import annotations
+
+import itertools
+
+from pyspark.sql import functions as F
+
+from entity_matchers_spark.operators.sketches import (
+    hll_distinct,
+    hll_estimate,
+    hll_merge,
+    hll_registers,
+)
+from entity_matchers_spark.operators.temporal import (
+    asof_join,
+    interval_overlap_join,
+)
+
+
+def test_hll_estimate_within_error_bound(spark):
+    # 5000 distinct values: standard-range branch; 1.04/sqrt(4096) ≈ 1.6%
+    # expected relative error — assert a generous 3-sigma 5%.
+    df = spark.range(20000).select((F.col("id") % 5000).alias("v"), F.lit("g").alias("g"))
+    est = hll_distinct(df, "v", ["g"]).collect()[0]["est_distinct"]
+    assert abs(est - 5000) / 5000 < 0.05
+
+
+def test_hll_small_range_linear_counting(spark):
+    # 150 distinct -> linear-counting branch; error there is sub-percent.
+    df = spark.range(3000).select((F.col("id") % 150).alias("v"), F.lit("g").alias("g"))
+    est = hll_distinct(df, "v", ["g"]).collect()[0]["est_distinct"]
+    assert abs(est - 150) / 150 < 0.02
+
+
+def test_hll_merge_equals_direct_union_sketch(spark):
+    # The module's core contract: merging per-part register tables gives
+    # EXACTLY the sketch of the union — not an approximation of it.
+    df = spark.range(10000).select(
+        (F.col("id") % 3000).alias("v"),
+        (F.col("id") % 4).cast("string").alias("part"),
+    )
+    regs = hll_registers(df, "v", ["part"])
+    merged_est = hll_estimate(
+        hll_merge(regs.withColumn("g", F.lit("all")), ["g"]), ["g"]
+    ).collect()[0]["est_distinct"]
+    direct_est = hll_distinct(
+        df.withColumn("g", F.lit("all")), "v", ["g"]
+    ).collect()[0]["est_distinct"]
+    assert merged_est == direct_est
+
+
+def _brute_asof(left_rows, right_rows):
+    out = {}
+    for lid, key, lts in left_rows:
+        best = None
+        for rkey, rts, pay in right_rows:
+            if rkey == key and rts <= lts and (best is None or rts > best[0]):
+                best = (rts, pay)
+        out[lid] = best
+    return out
+
+
+def test_asof_join_matches_brute_force(spark):
+    left_rows = [(i, i % 3, t) for i, t in enumerate([5, 10, 15, 2, 7, 30, 1, 10])]
+    right_rows = [(k, t, f"p{k}-{t}") for k in range(3) for t in (3, 10, 20)]
+    left = spark.createDataFrame(left_rows, "lid long, k long, t long")
+    right = spark.createDataFrame(right_rows, "k long, rt long, pay string")
+    got = {
+        r["lid"]: r["pay"]
+        for r in asof_join(
+            left, right, on="k", left_ts="t", right_ts="rt", payload_cols=["pay"]
+        ).collect()
+    }
+    want = _brute_asof(left_rows, right_rows)
+    assert set(got) == set(want)
+    for lid, best in want.items():
+        assert got[lid] == (best[1] if best else None), lid
+    # tie semantics: left t == right rt is INCLUSIVE (lid 1: t=10 -> rt=10)
+    assert got[1] == "p1-10"
+
+
+def test_interval_overlap_matches_cross_join(spark):
+    # Intervals crafted to cover: multi-bucket spans, zero-length points,
+    # exact boundary touching (closed-interval semantics), and key misses.
+    a_rows = [(i, i % 2, s, e) for i, (s, e) in enumerate(
+        [(0, 100), (50, 50), (990, 2100), (300, 310), (2048, 2048)]
+    )]
+    b_rows = [(i, i % 2, s, e) for i, (s, e) in enumerate(
+        [(100, 120), (40, 60), (2100, 2200), (311, 400), (0, 5000)]
+    )]
+    a = spark.createDataFrame(a_rows, "a_id long, k long, a_s long, a_e long")
+    b = spark.createDataFrame(b_rows, "b_id long, k long, b_s long, b_e long")
+    got = {
+        (r["a_id"], r["b_id"])
+        for r in interval_overlap_join(
+            a, b, "a_s", "a_e", "b_s", "b_e", bucket_seconds=64, keys=["k"]
+        ).collect()
+    }
+    want = {
+        (ai, bi)
+        for (ai, ak, as_, ae), (bi, bk, bs, be) in itertools.product(a_rows, b_rows)
+        if ak == bk and as_ <= be and bs <= ae
+    }
+    assert got == want and len(want) > 0
+    # each pair exactly once (the first-shared-bucket guard, no dedup pass)
+    rows = interval_overlap_join(
+        a, b, "a_s", "a_e", "b_s", "b_e", bucket_seconds=64, keys=["k"]
+    ).collect()
+    assert len(rows) == len(got)

@@ -65,6 +65,9 @@ HEADLINE = [
     "crawl_delta",
     "winnowing",
     "gopher_filter",
+    "hll_distinct",
+    "events_asof_enrich",
+    "interval_overlap",
 ]
 
 # Max allowed ``Exchange SinglePartition`` occurrences: pack_sequences owns
@@ -137,6 +140,13 @@ def main() -> None:
         if name == "er_pair_scores":
             pairs = B.candidate_pairs(Q._er_spark_blocks(spark, sf_dir), Q.ER_CAP)
             return score_pairs(pairs, Q._docs(spark, sf_dir), id_col="doc_id")
+        if name == "hll_distinct":
+            # the registry query checkpoints the register table (hiding the
+            # plan behind ExistingRDD); audit the raw sketch path instead
+            from entity_matchers_spark.operators.sketches import hll_distinct
+
+            ev = Q._read(spark, sf_dir, "events")
+            return hll_distinct(ev, "user_id", ["event_type"])
         return None
 
     sections = []
