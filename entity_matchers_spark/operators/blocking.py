@@ -417,3 +417,158 @@ def salted_candidate_pairs(
         .where(F.col("id_a") != F.col("id_b"))
         .distinct()
     )
+
+
+def sorted_neighborhood_pairs(
+    keyed: DataFrame,
+    key_col: str = "snm_key",
+    id_col: str = "id",
+    window: int = 4,
+) -> DataFrame:
+    """Sorted-neighborhood blocking (Hernandez & Stolfo 1998): sort the
+    corpus on a blocking key and pair every record with the ``window - 1``
+    records that follow it in sort order. The classic third blocker family
+    beside q-gram keys and LSH bands — it catches near-misses that share a
+    PREFIX but no common q-gram band (typos late in the string), and its
+    candidate count is exactly ``(window - 1) * n`` regardless of key skew,
+    the property the reference's ES top-k blocking approximates with its
+    per-entity candidate cap (/root/reference/README.md:366-383).
+
+    Spark shape: the global sort position comes from
+    :func:`~entity_matchers_spark.operators.packing.global_rank` (two-level
+    distributed prefix sum — no single-task ``Window.orderBy``), then each
+    row emits ``window - 1`` successor slots via ``explode(sequence(...))``
+    and an equi-join on the slot rank pairs them up. Both sides of the join
+    carry (rank, id) only — a few bytes per row at any corpus size — and
+    the join key is the unique rank, so the shuffle is perfectly uniform
+    even when the blocking KEY is pathologically skewed (every record
+    identical). Multi-pass SNM = union of calls with different keys.
+
+    Output: distinct ``(id_a < id_b)`` — rank adjacency normalized to id
+    order so downstream pair consumers see the canonical form.
+    """
+    from entity_matchers_spark.operators.packing import global_rank
+
+    ranked = global_rank(keyed, key_col, id_col).select(
+        F.col(id_col).alias("id"), "rank"
+    )
+    probes = ranked.select(
+        F.col("id").alias("id_l"),
+        F.explode(
+            F.sequence(F.col("rank") + 1, F.col("rank") + (window - 1))
+        ).alias("rank"),
+    )
+    return (
+        probes.join(ranked.withColumnRenamed("id", "id_r"), "rank")
+        .select(
+            F.least("id_l", "id_r").alias("id_a"),
+            F.greatest("id_l", "id_r").alias("id_b"),
+        )
+    )
+
+
+def phonetic_key(c: Column | str) -> Column:
+    """Consonant-skeleton phonetic blocking key: lowercase, letters only,
+    first letter kept, vowels and the near-silent ``h w y`` dropped from
+    the tail, truncated to 6 chars — the Soundex family's skeleton step
+    without the digit classes (those need run-collapsing backreferences,
+    which the oracle's RE2 engine lacks; the skeleton alone already merges
+    vowel-substitution typos, the dominant error class in person/org
+    names). Pure native expressions — blocking keys for 10^12 rows must
+    never enter Python.
+    """
+    s = F.regexp_replace(F.lower(F.col(c) if isinstance(c, str) else c), "[^a-z]", "")
+    tail = F.regexp_replace(F.substring(s, 2, 1_000_000), "[aeiouhwy]", "")
+    return F.substring(F.concat(F.substring(s, 1, 1), tail), 1, 6)
+
+
+def phonetic_block_keys(
+    df: DataFrame, id_col: str = "id", name_col: str = "name"
+) -> DataFrame:
+    """(id, block_id) from the phonetic key — empty names produce no key,
+    mirroring ``domain_block_keys``' empty-domain drop."""
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.concat(F.lit("ph:"), phonetic_key(name_col)).alias("block_id"),
+    ).where(F.col("block_id") != "ph:")
+
+
+def meta_blocking_prune(
+    blocks: DataFrame,
+    max_block_size: int = 64,
+    scheme: str = "wep",
+    k: int = 5,
+) -> DataFrame:
+    """Meta-blocking (Papadakis et al., TKDE 2014): re-weight the comparison
+    graph implied by a (id, block_id) table and prune low-evidence edges —
+    the standard recall-preserving way to shrink a dirty blocking's pair
+    count by 1-2 orders of magnitude before pairwise scoring.
+
+    Edge weight is CBS (common-blocks count: how many blocks both ids
+    share); ``js`` (Jaccard of the two ids' block sets) is emitted alongside
+    for downstream schemes. Pruning:
+
+    - ``wep`` (weighted edge pruning): keep edges with weight >= the global
+      mean. The comparison is done in INTEGER cross-multiplied form
+      (``cbs * n_edges >= sum_cbs``) so both engines decide boundary edges
+      identically — never compare against a floating mean.
+    - ``cnp`` (cardinality node pruning): each node retains its ``k``
+      highest-CBS edges (ties: lower neighbor id wins); an edge survives if
+      EITHER endpoint retains it (the paper's redefined CNP).
+
+    Scale shape: one capped equi-self-join (same bound as
+    ``candidate_pairs``) + a groupBy on the pair key; WEP adds a 1-row
+    broadcast aggregate, CNP two per-node windows whose partitions are each
+    node's edge list (bounded by max_block_size · blocks-per-id). Nothing
+    sees the uncapped block graph.
+    """
+    capped = cap_block_sizes(blocks, max_block_size)
+    nblocks = capped.groupBy("id").agg(F.count("*").alias("nb"))
+    edges = (
+        capped.alias("l")
+        .join(capped.alias("r"), "block_id")
+        .where(F.col("l.id") < F.col("r.id"))
+        .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("cbs"))
+        # per-id block counts grow with the corpus — plain joins (AQE picks
+        # broadcast when the dim actually fits), never an unconditional hint
+        .join(nblocks.withColumnRenamed("id", "id_a")
+              .withColumnRenamed("nb", "nb_a"), "id_a")
+        .join(nblocks.withColumnRenamed("id", "id_b")
+              .withColumnRenamed("nb", "nb_b"), "id_b")
+        .withColumn(
+            "js",
+            F.round(F.col("cbs") / (F.col("nb_a") + F.col("nb_b") - F.col("cbs")), 6),
+        )
+    )
+    if scheme == "wep":
+        tot = edges.agg(
+            F.sum("cbs").alias("_s"), F.count("*").alias("_e")
+        )
+        return (
+            edges.crossJoin(F.broadcast(tot))
+            .where(F.col("cbs") * F.col("_e") >= F.col("_s"))
+            .select("id_a", "id_b", "cbs", "js")
+        )
+    if scheme == "cnp":
+        from pyspark.sql import Window
+
+        ends = edges.select(
+            F.col("id_a").alias("node"), "id_a", "id_b", "cbs",
+            F.col("id_b").alias("other"),
+        ).unionByName(edges.select(
+            F.col("id_b").alias("node"), "id_a", "id_b", "cbs",
+            F.col("id_a").alias("other"),
+        ))
+        w = Window.partitionBy("node").orderBy(
+            F.col("cbs").desc(), F.col("other").asc()
+        )
+        kept = (
+            ends.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") <= k)
+            .select("id_a", "id_b")
+            .distinct()
+        )
+        return kept.join(edges, ["id_a", "id_b"]).select("id_a", "id_b", "cbs", "js")
+    raise ValueError(f"unknown meta-blocking scheme: {scheme!r}")

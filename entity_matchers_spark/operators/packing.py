@@ -111,6 +111,29 @@ def _global_exclusive_cumsum(
     )
 
 
+def global_rank(
+    df: DataFrame, key_col: str, id_col: str, out_col: str = "rank"
+) -> DataFrame:
+    """Adds ``out_col`` = the row's 0-based rank under ``(key_col, id_col)``
+    ascending order — the distributed-prefix-sum specialization with every
+    row weighing 1, so no stage ever sorts more than one bucket's worth.
+
+    The bucket id is a prefix of ``key_col``, so this is exact for ANY
+    string key (prefix order is consistent with full-key order), not just
+    uniform hashes; non-uniform keys skew bucket SIZES (a window partition
+    is one task — widen ``_BUCKET_HEX`` if a prefix dominates the corpus).
+    Equal keys are tie-broken by ``id_col`` — total order, so
+    the rank is unique and oracle-reproducible (``row_number() OVER
+    (ORDER BY key, id) - 1``)."""
+    return (
+        _global_exclusive_cumsum(
+            df.withColumn("_one", F.lit(1)), "_one", key_col, id_col
+        )
+        .withColumn(out_col, F.col("_start"))
+        .drop("_one", "_start")
+    )
+
+
 def pack_sequences(
     df: DataFrame,
     seq_len: int,

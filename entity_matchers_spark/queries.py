@@ -4334,8 +4334,103 @@ FROM iv a JOIN iv b
 # ER chain / text / streaming set. The tail is exclusively queries that
 # were driver-green in BOTH round 1 and round 2 with unchanged
 # implementations — leaving them outside the cap loses no information.
+SNM_KEY_CHARS = 16
+SNM_WINDOW = 4
+
+
+def q_snm_blocking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-neighborhood blocking (Hernandez & Stolfo 1998) over the
+    documents corpus: sort on the lowercased 16-char text prefix, pair each
+    record with its 3 successors. The third blocker family beside q-gram
+    bands and LSH — candidate count is exactly (window-1)·n independent of
+    key skew. Global sort position via the distributed two-level prefix
+    sum (no single-task Window.orderBy)."""
+    docs = _docs(spark, sf_dir)
+    keyed = docs.select(
+        F.col("doc_id").alias("id"),
+        F.lower(F.substring("text", 1, SNM_KEY_CHARS)).alias("snm_key"),
+    )
+    return blocking.sorted_neighborhood_pairs(
+        keyed, key_col="snm_key", id_col="id", window=SNM_WINDOW
+    )
+
+
+Q_SNM_BLOCKING_SQL = f"""
+WITH keyed AS (
+  SELECT doc_id AS id, lower(substr(text, 1, {SNM_KEY_CHARS})) AS k FROM documents
+),
+ranked AS (
+  SELECT id, row_number() OVER (ORDER BY k ASC, id ASC) - 1 AS r FROM keyed
+)
+SELECT least(a.id, b.id) AS id_a, greatest(a.id, b.id) AS id_b
+FROM ranked a JOIN ranked b ON b.r > a.r AND b.r <= a.r + {SNM_WINDOW - 1}
+"""
+
+
+def q_phonetic_blocking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Phonetic (consonant-skeleton) blocking keys over the documents
+    corpus' 12-char text prefix — the Soundex-family key that merges
+    vowel-substitution typos; native expressions end to end."""
+    docs = _docs(spark, sf_dir)
+    named = docs.select(
+        F.col("doc_id").alias("id"), F.substring("text", 1, 12).alias("name")
+    )
+    return blocking.phonetic_block_keys(named, id_col="id", name_col="name")
+
+
+Q_PHONETIC_BLOCKING_SQL = """
+WITH named AS (
+  SELECT doc_id AS id,
+         regexp_replace(lower(substr(text, 1, 12)), '[^a-z]', '', 'g') AS s
+  FROM documents
+)
+SELECT id,
+       'ph:' || substr(substr(s, 1, 1) ||
+                       regexp_replace(substr(s, 2), '[aeiouhwy]', '', 'g'),
+                       1, 6) AS block_id
+FROM named
+WHERE s <> ''
+"""
+
+
+def q_meta_blocking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Meta-blocking WEP (Papadakis et al. 2014) over the shared ER block
+    keys: CBS-weighted comparison graph, edges below the global mean weight
+    pruned (integer cross-multiplied comparison — no floating mean)."""
+    return blocking.meta_blocking_prune(
+        _er_spark_blocks(spark, sf_dir), max_block_size=ER_CAP, scheme="wep"
+    )
+
+
+Q_META_BLOCKING_SQL = f"""
+WITH {_er_blocks_sql()},
+capped AS MATERIALIZED (
+  SELECT b.* FROM blocks b
+  WHERE b.block_id NOT IN (
+    SELECT block_id FROM blocks GROUP BY block_id HAVING count(*) > {ER_CAP}
+  )
+),
+nb AS MATERIALIZED (SELECT id, count(*) AS nb FROM capped GROUP BY id),
+edges AS MATERIALIZED (
+  SELECT l.id AS id_a, r.id AS id_b, count(*)::BIGINT AS cbs
+  FROM capped l JOIN capped r USING (block_id)
+  WHERE l.id < r.id GROUP BY 1, 2
+),
+weighted AS MATERIALIZED (
+  SELECT e.id_a, e.id_b, e.cbs,
+         round(e.cbs / (na.nb + nbb.nb - e.cbs), 6) AS js
+  FROM edges e JOIN nb na ON na.id = e.id_a JOIN nb nbb ON nbb.id = e.id_b
+),
+tot AS (SELECT sum(cbs)::BIGINT AS s, count(*)::BIGINT AS e FROM edges)
+SELECT id_a, id_b, cbs, js FROM weighted, tot WHERE cbs * e >= s
+"""
+
+
 QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     # -- (0) new in this round-3 session
+    "snm_blocking": (q_snm_blocking, Q_SNM_BLOCKING_SQL),
+    "phonetic_blocking": (q_phonetic_blocking, Q_PHONETIC_BLOCKING_SQL),
+    "meta_blocking": (q_meta_blocking, Q_META_BLOCKING_SQL),
     "hll_distinct": (q_hll_distinct, _build_hll_sql()),
     "events_asof_enrich": (q_events_asof_enrich, Q_EVENTS_ASOF_SQL),
     "interval_overlap": (q_interval_overlap, Q_INTERVAL_OVERLAP_SQL),

@@ -374,3 +374,82 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
         spark.sql("DROP TABLE IF EXISTS bk_a")
         spark.sql("DROP TABLE IF EXISTS bk_b")
+
+
+# --- sorted-neighborhood + phonetic blocking ---------------------------------
+
+
+def test_sorted_neighborhood_matches_single_window_semantics(spark):
+    """SNM pairs == the naive global-sort sliding window, including ties
+    (equal keys tie-broken by id) and the (window-1)·n - tail count."""
+    from entity_matchers_spark.operators.blocking import sorted_neighborhood_pairs
+
+    rows = [
+        (7, "smith"), (1, "smyth"), (4, "smith"), (9, "adams"),
+        (2, "zhang"), (5, "adamson"), (3, "smitt"), (8, "zhang"),
+    ]
+    keyed = spark.createDataFrame(rows, "id long, snm_key string")
+    got = sorted(
+        tuple(r) for r in sorted_neighborhood_pairs(keyed, window=3).collect()
+    )
+    order = [i for i, _ in sorted(rows, key=lambda r: (r[1], r[0]))]
+    exp = set()
+    for p in range(len(order)):
+        for q in range(p + 1, min(p + 3, len(order))):
+            exp.add((min(order[p], order[q]), max(order[p], order[q])))
+    assert got == sorted(exp)
+    assert len(got) == 2 * len(rows) - 3  # (w-1)*n - (1+2) tail slots
+
+
+def test_sorted_neighborhood_skewed_key_count(spark):
+    """All-identical keys (worst skew): candidate count stays linear,
+    exactly (w-1)·n - tail — never the quadratic block join."""
+    from entity_matchers_spark.operators.blocking import sorted_neighborhood_pairs
+
+    n, w = 400, 5
+    keyed = spark.range(n).select(
+        F.col("id"), F.lit("same").alias("snm_key")
+    )
+    cnt = sorted_neighborhood_pairs(keyed, window=w).count()
+    assert cnt == (w - 1) * n - sum(range(1, w))
+
+
+def test_phonetic_key_values(spark):
+    from entity_matchers_spark.operators.blocking import phonetic_block_keys
+
+    rows = [
+        (1, "Smith"), (2, "Smyth"), (3, "smeeth"),   # same skeleton
+        (4, "Jackson"), (5, "Jaxon"),                 # differ (ck vs x)
+        (6, ""), (7, "   "), (8, "O'Neil"),
+    ]
+    df = spark.createDataFrame(rows, "id long, name string")
+    got = {r["id"]: r["block_id"] for r in phonetic_block_keys(df).collect()}
+    assert got[1] == got[2] == got[3] == "ph:smt"
+    assert got[4] == "ph:jcksn" and got[5] == "ph:jxn"
+    assert 6 not in got and 7 not in got
+    assert got[8] == "ph:onl"
+
+
+def test_meta_blocking_wep_and_cnp(spark):
+    """CBS weights, integer-exact WEP mean cut, CNP per-node top-k union."""
+    from entity_matchers_spark.operators.blocking import meta_blocking_prune
+
+    # ids 1,2 share 3 blocks; 1,3 share 1; 2,3 share 1; 4 shares 1 with 1
+    rows = [
+        (1, "a"), (2, "a"), (1, "b"), (2, "b"), (1, "c"), (2, "c"),
+        (3, "c"), (3, "d"), (4, "d"), (1, "e"), (4, "e"),
+    ]
+    blocks = spark.createDataFrame(rows, "id long, block_id string")
+    wep = {(r.id_a, r.id_b): r.cbs
+           for r in meta_blocking_prune(blocks, scheme="wep").collect()}
+    # edges: (1,2):3, (1,3):1, (2,3):1, (3,4):1, (1,4):1  -> sum 7, e 5
+    # keep cbs*5 >= 7  => cbs >= 1.4 => only (1,2)
+    assert wep == {(1, 2): 3}
+    cnp = {(r.id_a, r.id_b)
+           for r in meta_blocking_prune(blocks, scheme="cnp", k=1).collect()}
+    # k=1: node1->(1,2), node2->(1,2), node3->(1,3), node4->(1,4)
+    assert cnp == {(1, 2), (1, 3), (1, 4)}
+    # js of (1,2): cbs=3, nb1=4, nb2=3 -> 3/4
+    js = {(r.id_a, r.id_b): r.js
+          for r in meta_blocking_prune(blocks, scheme="cnp", k=1).collect()}
+    assert js[(1, 2)] == 0.75

@@ -68,6 +68,9 @@ HEADLINE = [
     "hll_distinct",
     "events_asof_enrich",
     "interval_overlap",
+    "snm_blocking",
+    "phonetic_blocking",
+    "meta_blocking",
 ]
 
 # Max allowed ``Exchange SinglePartition`` occurrences: pack_sequences owns
@@ -76,6 +79,9 @@ HEADLINE = [
 # partitioned.
 _SINGLE_PARTITION_BUDGET = {
     "pack_sequences": 1,
+    # snm's global rank reuses the same prefix-sum: one 4096-row offsets window
+    "snm_blocking": 1,
+    "phonetic_blocking": 0,
     "global_shuffle": 0,
     "chunk_tokens": 0,
     "corpus_rollup": 0,
