@@ -231,3 +231,57 @@ def degree_distribution_deletion(
         .join(deleted.withColumnRenamed("e", "t"), "t", "left_anti")
         .select("h", "r", "t")
     )
+
+
+def hits(
+    edges: DataFrame,
+    iterations: int = 3,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """(node, auth, hub) after ``iterations`` UNNORMALIZED HITS rounds
+    (Kleinberg 1999) over distinct directed edges: per round, first
+    auth(v) = Σ_{u→v} hub(u), then hub(u) = Σ_{u→v} auth(v) with the
+    freshly updated auths (the classic update order).
+
+    Normalization is deliberately omitted: unnormalized scores from an
+    all-ones init are INTEGERS (alternating-path counts), so the
+    cross-engine comparison is order-independent integer sums instead of
+    float sums whose grouping-dependent rounding can't be replayed.
+    Consumers rank by the scores, so any positive rescaling is
+    information-free anyway. Magnitudes grow ≈ (mean degree)^(2·rounds) —
+    callers pick ``iterations`` so counts stay inside int64 (3 rounds is
+    plenty for ranking; raise only on sparse graphs).
+
+    Scale shape: same as :func:`pagerank` — edges partitioned once, one
+    groupBy-shuffle per half-round, scores checkpointed per round to cut
+    lineage.
+    """
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionAll(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    s = nodes.select(
+        "node", F.lit(1).cast("long").alias("auth"), F.lit(1).cast("long").alias("hub")
+    )
+    for _ in range(iterations):
+        a = (
+            e.join(s.select(F.col("node").alias("src"), "hub"), "src")
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum("hub").alias("_a"))
+        )
+        s = s.join(a, "node", "left").select(
+            "node", F.coalesce("_a", F.lit(0)).cast("long").alias("auth"), "hub"
+        )
+        h = (
+            e.join(s.select(F.col("node").alias("dst"), "auth"), "dst")
+            .groupBy(F.col("src").alias("node"))
+            .agg(F.sum("auth").alias("_h"))
+        )
+        s = s.join(h, "node", "left").select(
+            "node", "auth", F.coalesce("_h", F.lit(0)).cast("long").alias("hub")
+        ).localCheckpoint(eager=True)
+    return s

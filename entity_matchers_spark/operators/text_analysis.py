@@ -574,3 +574,73 @@ def gopher_filter(
         fail_rep_bigram.alias("fail_rep_bigram"),
         keep.alias("keep"),
     )
+
+
+def kneser_ney_counts(
+    df: DataFrame,
+    text_col: str = "text",
+    discount: float = 0.75,
+    min_count: int = 3,
+) -> DataFrame:
+    """Interpolated Kneser-Ney bigram statistics over the corpus — the
+    count tables an n-gram LM trainer materializes (Kneser & Ney 1995;
+    the CCNet/DSIR-style hashed LMs in ``web.py``/``sampling.py`` are the
+    scoring-side consumers of exactly these tables):
+
+    ``(w1, w2, c12, c1, n_follow, n_prec, pkn)`` where ``c12`` is the
+    bigram count, ``c1`` the left-unigram's total bigram mass,
+    ``n_follow`` = |{w : c(w1, w) > 0}| (the escape weight's type count),
+    ``n_prec`` = |{w : c(w, w2) > 0}| (the continuation count — KN's
+    signature: "how many contexts has w2 followed"), and
+
+        pkn = max(c12 - D, 0)/c1 + (D·n_follow/c1) · (n_prec/B)
+
+    with B = total distinct bigram types. Every input to ``pkn`` is an
+    exact integer and the float expression tree is written identically in
+    the oracle, so the 6-dp values agree bit-for-bit.
+
+    Rows with ``c12 < min_count`` are filtered AFTER aggregation (their
+    mass still shapes c1/n_follow/B) to bound the emitted table — the
+    standard count-cutoff in n-gram LM toolkits.
+
+    Scale shape: one explode + three partially-aggregated groupBys (pair,
+    left unigram, right unigram) and a 1-row broadcast for B. The pair
+    table is vocab²-bounded and Zipf-thin — nothing rescans the corpus.
+    """
+    ts = tokens(F.col(text_col))
+    pairs = F.when(
+        F.size(ts) >= 2,
+        F.zip_with(
+            F.slice(ts, 1, F.size(ts) - 1),
+            F.slice(ts, 2, F.size(ts) - 1),
+            lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+        ),
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    big = (
+        df.select(F.explode(pairs).alias("p"))
+        .select(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+        .groupBy("w1", "w2")
+        .agg(F.count("*").alias("c12"))
+    )
+    left = big.groupBy("w1").agg(
+        F.sum("c12").alias("c1"), F.count("*").alias("n_follow")
+    )
+    right = big.groupBy("w2").agg(F.count("*").alias("n_prec"))
+    total = big.agg(F.count("*").alias("nb"))
+    d = F.lit(float(discount))
+    return (
+        big.join(left, "w1")
+        .join(right, "w2")
+        .crossJoin(F.broadcast(total))
+        .withColumn(
+            "pkn",
+            F.round(
+                F.greatest(F.col("c12") - d, F.lit(0.0)) / F.col("c1")
+                + ((d * F.col("n_follow")) / F.col("c1"))
+                * (F.col("n_prec") / F.col("nb")),
+                6,
+            ),
+        )
+        .where(F.col("c12") >= min_count)
+        .select("w1", "w2", "c12", "c1", "n_follow", "n_prec", "pkn")
+    )

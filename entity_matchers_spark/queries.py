@@ -4426,11 +4426,107 @@ SELECT id_a, id_b, cbs, js FROM weighted, tot WHERE cbs * e >= s
 """
 
 
+HITS_ITERS = 3
+
+
+def q_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer-exact unnormalized HITS (Kleinberg 1999), 3 rounds, over the
+    same cust/supp→nation→region graph PageRank uses — hub/auth scores as
+    alternating-path counts, so the oracle comparison is order-independent
+    integer sums."""
+    from entity_matchers_spark.operators.graph import hits
+
+    cust = _read(spark, sf_dir, "customer")
+    supp = _read(spark, sf_dir, "supplier")
+    nat = _read(spark, sf_dir, "nation")
+    edges = (
+        cust.select(F.concat(F.lit("cust_"), "c_custkey").alias("src"),
+                    F.concat(F.lit("nation_"), "c_nationkey").alias("dst"))
+        .unionAll(supp.select(F.concat(F.lit("supp_"), "s_suppkey"),
+                              F.concat(F.lit("nation_"), "s_nationkey")))
+        .unionAll(nat.select(F.concat(F.lit("nation_"), "n_nationkey"),
+                             F.concat(F.lit("region_"), "n_regionkey")))
+    )
+    return hits(edges, iterations=HITS_ITERS)
+
+
+def _hits_sql(iterations: int) -> str:
+    parts = [
+        f"WITH {_PR_EDGES_SQL},\n"
+        "  s_0 AS (SELECT node, 1::BIGINT AS auth, 1::BIGINT AS hub FROM nodes)"
+    ]
+    for i in range(1, iterations + 1):
+        parts.append(f""",
+  a_{i} AS MATERIALIZED (
+    SELECT s.node, coalesce(t.v, 0)::BIGINT AS auth, s.hub
+    FROM s_{i-1} s LEFT JOIN (
+      SELECT e.dst AS node, sum(p.hub)::BIGINT AS v
+      FROM edges e JOIN s_{i-1} p ON p.node = e.src GROUP BY e.dst
+    ) t USING (node)
+  ),
+  s_{i} AS MATERIALIZED (
+    SELECT a.node, a.auth, coalesce(t.v, 0)::BIGINT AS hub
+    FROM a_{i} a LEFT JOIN (
+      SELECT e.src AS node, sum(p.auth)::BIGINT AS v
+      FROM edges e JOIN a_{i} p ON p.node = e.dst GROUP BY e.src
+    ) t USING (node)
+  )""")
+    parts.append(f"\nSELECT node, auth, hub FROM s_{iterations}")
+    return "".join(parts)
+
+
+Q_HITS_SQL = _hits_sql(HITS_ITERS)
+
+
+KN_DISCOUNT = 0.75
+KN_MIN_COUNT = 3
+
+
+def q_kn_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney bigram count tables + smoothed probability
+    over the documents corpus (count cutoff 3)."""
+    from entity_matchers_spark.operators.text_analysis import kneser_ney_counts
+
+    return kneser_ney_counts(
+        _docs(spark, sf_dir), discount=KN_DISCOUNT, min_count=KN_MIN_COUNT
+    )
+
+
+Q_KN_COUNTS_SQL = f"""
+WITH toks AS (
+  SELECT list_filter(string_split_regex(lower(text), '\\s+'), x -> x != '') AS t
+  FROM documents
+),
+big AS MATERIALIZED (
+  SELECT u.w1 AS w1, u.w2 AS w2, count(*)::BIGINT AS c12 FROM (
+    SELECT unnest(list_transform(range(1, len(t)),
+                                 i -> struct_pack(w1 := t[i], w2 := t[i+1]))) AS u
+    FROM toks WHERE len(t) >= 2
+  ) GROUP BY 1, 2
+),
+lefts AS MATERIALIZED (
+  SELECT w1, sum(c12)::BIGINT AS c1, count(*)::BIGINT AS n_follow FROM big GROUP BY w1
+),
+rights AS MATERIALIZED (
+  SELECT w2, count(*)::BIGINT AS n_prec FROM big GROUP BY w2
+),
+total AS (SELECT count(*)::BIGINT AS nb FROM big)
+SELECT b.w1, b.w2, b.c12, l.c1, l.n_follow, r.n_prec,
+       round(greatest(b.c12::DOUBLE - {KN_DISCOUNT}::DOUBLE, 0.0::DOUBLE) / l.c1::DOUBLE
+             + (({KN_DISCOUNT}::DOUBLE * l.n_follow::DOUBLE) / l.c1::DOUBLE)
+               * (r.n_prec::DOUBLE / t.nb::DOUBLE), 6) AS pkn
+FROM big b JOIN lefts l USING (w1) JOIN rights r USING (w2) CROSS JOIN total t
+WHERE b.c12 >= {KN_MIN_COUNT}
+"""
+
+
 QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     # -- (0) new in this round-3 session
     "snm_blocking": (q_snm_blocking, Q_SNM_BLOCKING_SQL),
     "phonetic_blocking": (q_phonetic_blocking, Q_PHONETIC_BLOCKING_SQL),
     "meta_blocking": (q_meta_blocking, Q_META_BLOCKING_SQL),
+    "hits": (q_hits, Q_HITS_SQL),
+    "kn_counts": (q_kn_counts, Q_KN_COUNTS_SQL),
     "hll_distinct": (q_hll_distinct, _build_hll_sql()),
     "events_asof_enrich": (q_events_asof_enrich, Q_EVENTS_ASOF_SQL),
     "interval_overlap": (q_interval_overlap, Q_INTERVAL_OVERLAP_SQL),

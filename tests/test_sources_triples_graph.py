@@ -453,3 +453,39 @@ def test_meta_blocking_wep_and_cnp(spark):
     js = {(r.id_a, r.id_b): r.js
           for r in meta_blocking_prune(blocks, scheme="cnp", k=1).collect()}
     assert js[(1, 2)] == 0.75
+
+
+def test_hits_integer_path_counts(spark):
+    """Unnormalized HITS == alternating-path counts; verified against a
+    driver-side replay of the same update order."""
+    from entity_matchers_spark.operators.graph import hits
+
+    E = [("a", "c"), ("b", "c"), ("c", "d")]
+    got = {r["node"]: (r["auth"], r["hub"])
+           for r in hits(spark.createDataFrame(E, "src string, dst string"),
+                         iterations=2).collect()}
+    nodes = {n for e in E for n in e}
+    auth = {n: 1 for n in nodes}
+    hub = {n: 1 for n in nodes}
+    for _ in range(2):
+        auth = {n: sum(hub[u] for u, v in E if v == n) for n in nodes}
+        hub = {n: sum(auth[v] for u, v in E if u == n) for n in nodes}
+    assert got == {n: (auth[n], hub[n]) for n in nodes}
+
+
+def test_kneser_ney_counts_hand_case(spark):
+    from entity_matchers_spark.operators.text_analysis import kneser_ney_counts
+
+    docs = spark.createDataFrame(
+        [(0, "a b a b c"), (1, "b c")], "doc_id long, text string"
+    )
+    rows = {(r.w1, r.w2): r for r in
+            kneser_ney_counts(docs, min_count=1).collect()}
+    # bigrams: (a,b)x2 (b,a)x1 (b,c)x2 -> B=3 types
+    r = rows[("a", "b")]
+    assert (r.c12, r.c1, r.n_follow, r.n_prec) == (2, 2, 1, 1)
+    d = 0.75
+    assert r.pkn == round(max(2 - d, 0) / 2 + ((d * 1) / 2) * (1 / 3), 6)
+    r = rows[("b", "c")]
+    assert (r.c12, r.c1, r.n_follow, r.n_prec) == (2, 3, 2, 1)
+    assert r.pkn == round(max(2 - d, 0) / 3 + ((d * 2) / 3) * (1 / 3), 6)

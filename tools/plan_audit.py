@@ -71,6 +71,7 @@ HEADLINE = [
     "snm_blocking",
     "phonetic_blocking",
     "meta_blocking",
+    "kn_counts",
 ]
 
 # Max allowed ``Exchange SinglePartition`` occurrences: pack_sequences owns
