@@ -113,3 +113,73 @@ def bm25_topk(
             F.round(F.col("score_fp") / 1e6, 6).alias("score"),
         )
     )
+
+
+def tfidf_pair_cosine(
+    pairs: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    quant: int = 100,
+    tf_cap: int = 1000,
+) -> DataFrame:
+    """(id_a, id_b, dot, tfidf_cos): TF-IDF-weighted token cosine for
+    candidate pairs — the IR-weighted soft token match (rare shared tokens
+    count, stopword overlap doesn't) that complements the unweighted
+    Jaccard/Levenshtein features in the ER scoring stack.
+
+    Weights are FIXED-POINT: ``w(doc, t) = min(tf, tf_cap) *
+    round(quant * (ln((1+N)/(1+df)) + 1))`` — one corpus-scalar double and
+    one log per TERM (not per pair), quantized to a BIGINT, so the
+    per-pair dot and per-doc norm reductions are integer sums:
+    order-independent under any partitioning and bit-exact vs the oracle
+    (same discipline as ``bm25_topk``). The only floats are the final
+    ``dot / (sqrt(na2) * sqrt(nb2))`` — fixed operand order, rounded 6 dp.
+    Magnitude bound: quant=100, tf_cap=1000 keeps per-doc norm sums under
+    2^63 for docs up to ~100k distinct terms at N=10^12.
+
+    Plan shape: tf/df aggregations are Zipf-bounded; the pair dot is
+    pairs ⨝ weights(id_a) ⨝ weights(id_b on the shared term) — the join
+    on (pair, term) explodes only SHARED terms, then one integer groupBy.
+    Pairs sharing nothing keep dot = 0 via the left join at the end.
+    """
+    n_docs = corpus.count()
+    tf = (
+        corpus.select(F.col(id_col).alias("id"), F.explode(tokens(F.col(text_col))).alias("t"))
+        .groupBy("id", "t")
+        .agg(F.least(F.count("*"), F.lit(tf_cap)).alias("tf"))
+    )
+    dfreq = tf.groupBy("t").agg(F.count("*").alias("df"))
+    idf_q = F.round(
+        F.lit(float(quant))
+        * (F.log((F.lit(1.0) + F.lit(float(n_docs))) / (F.lit(1.0) + F.col("df"))) + F.lit(1.0))
+    ).cast("long")
+    weights = (
+        tf.join(dfreq, "t")
+        .select("id", "t", (F.col("tf") * idf_q).cast("long").alias("w"))
+    )
+    norms = weights.groupBy("id").agg(F.sum(F.col("w") * F.col("w")).alias("n2"))
+    wa = weights.select(F.col("id").alias("id_a"), "t", F.col("w").alias("wa"))
+    wb = weights.select(F.col("id").alias("id_b"), "t", F.col("w").alias("wb"))
+    dots = (
+        pairs.join(wa, "id_a")
+        .join(wb, ["id_b", "t"])
+        .groupBy("id_a", "id_b")
+        .agg(F.sum(F.col("wa") * F.col("wb")).alias("dot"))
+    )
+    na = norms.withColumnRenamed("id", "id_a").withColumnRenamed("n2", "na2")
+    nb = norms.withColumnRenamed("id", "id_b").withColumnRenamed("n2", "nb2")
+    return (
+        pairs.join(dots, ["id_a", "id_b"], "left")
+        .join(na, "id_a")
+        .join(nb, "id_b")
+        .select(
+            "id_a", "id_b",
+            F.coalesce("dot", F.lit(0)).cast("long").alias("dot"),
+            F.round(
+                F.coalesce("dot", F.lit(0))
+                / (F.sqrt(F.col("na2")) * F.sqrt(F.col("nb2"))),
+                6,
+            ).alias("tfidf_cos"),
+        )
+    )

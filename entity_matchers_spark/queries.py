@@ -4520,6 +4520,47 @@ WHERE b.c12 >= {KN_MIN_COUNT}
 """
 
 
+def q_tfidf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF-weighted token cosine over the shared ER candidate pairs —
+    fixed-point integer weights so the pair reduction is order-independent
+    (see operators/retrieval.py)."""
+    from entity_matchers_spark.operators.retrieval import tfidf_pair_cosine
+
+    return tfidf_pair_cosine(
+        _er_spark_pairs(spark, sf_dir), _docs(spark, sf_dir)
+    )
+
+
+Q_TFIDF_COSINE_SQL = f"""
+WITH {_er_blocks_sql()}, {_er_pairs_sql()},
+toks AS (
+  SELECT doc_id AS id,
+         unnest(list_filter(string_split_regex(lower(text), '\\s+'), x -> x != '')) AS t
+  FROM documents
+),
+tf AS MATERIALIZED (
+  SELECT id, t, least(count(*), 1000)::BIGINT AS tf FROM toks GROUP BY 1, 2
+),
+dfreq AS MATERIALIZED (SELECT t, count(*)::BIGINT AS df FROM tf GROUP BY t),
+nn AS (SELECT count(*)::DOUBLE AS n FROM documents),
+wts AS MATERIALIZED (
+  SELECT tf.id, tf.t,
+         (tf.tf * round(100.0 * (ln((1.0 + nn.n) / (1.0 + dfreq.df::DOUBLE)) + 1.0))::BIGINT)::BIGINT AS w
+  FROM tf JOIN dfreq USING (t) CROSS JOIN nn
+),
+norms AS MATERIALIZED (SELECT id, sum(w * w)::BIGINT AS n2 FROM wts GROUP BY id),
+dots AS MATERIALIZED (
+  SELECT p.id_a, p.id_b, sum(a.w * b.w)::BIGINT AS dot
+  FROM pairs p JOIN wts a ON a.id = p.id_a JOIN wts b ON b.id = p.id_b AND b.t = a.t
+  GROUP BY 1, 2
+)
+SELECT p.id_a, p.id_b, coalesce(d.dot, 0)::BIGINT AS dot,
+       round(coalesce(d.dot, 0)::DOUBLE / (sqrt(na.n2::DOUBLE) * sqrt(nb.n2::DOUBLE)), 6) AS tfidf_cos
+FROM pairs p LEFT JOIN dots d USING (id_a, id_b)
+JOIN norms na ON na.id = p.id_a JOIN norms nb ON nb.id = p.id_b
+"""
+
+
 QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     # -- (0) new in this round-3 session
     "snm_blocking": (q_snm_blocking, Q_SNM_BLOCKING_SQL),
@@ -4527,6 +4568,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "meta_blocking": (q_meta_blocking, Q_META_BLOCKING_SQL),
     "hits": (q_hits, Q_HITS_SQL),
     "kn_counts": (q_kn_counts, Q_KN_COUNTS_SQL),
+    "tfidf_cosine": (q_tfidf_cosine, Q_TFIDF_COSINE_SQL),
     "hll_distinct": (q_hll_distinct, _build_hll_sql()),
     "events_asof_enrich": (q_events_asof_enrich, Q_EVENTS_ASOF_SQL),
     "interval_overlap": (q_interval_overlap, Q_INTERVAL_OVERLAP_SQL),

@@ -128,3 +128,38 @@ def test_winnowing_fingerprints_hand_check(spark):
     fps0 = {fp for d, _, fp in got if d == 0}
     fps3 = {fp for d, _, fp in got if d == 3}
     assert fps0 & fps3
+
+
+def test_tfidf_pair_cosine_hand_case(spark):
+    """Fixed-point weights replayed driver-side; stopword overlap scores
+    lower than rare-token overlap."""
+    import math
+
+    from entity_matchers_spark.operators.retrieval import tfidf_pair_cosine
+
+    docs = spark.createDataFrame(
+        [(1, "the rare zebra"), (2, "the rare yak"), (3, "the the common")],
+        "doc_id long, text string",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (1, 3)], "id_a long, id_b long"
+    )
+    got = {(r.id_a, r.id_b): (r.dot, r.tfidf_cos)
+           for r in tfidf_pair_cosine(pairs, docs).collect()}
+
+    def idf_q(df):
+        return round(100.0 * (math.log((1.0 + 3) / (1.0 + df)) + 1.0))
+
+    w = {  # (doc, token) -> weight
+        (1, "the"): idf_q(3), (1, "rare"): idf_q(2), (1, "zebra"): idf_q(1),
+        (2, "the"): idf_q(3), (2, "rare"): idf_q(2), (2, "yak"): idf_q(1),
+        (3, "the"): 2 * idf_q(3), (3, "common"): idf_q(1),
+    }
+    def norm(d):
+        return math.sqrt(sum(v * v for (doc, _), v in w.items() if doc == d))
+    dot12 = w[(1, "the")] * w[(2, "the")] + w[(1, "rare")] * w[(2, "rare")]
+    dot13 = w[(1, "the")] * w[(3, "the")]
+    assert got[(1, 2)] == (dot12, round(dot12 / (norm(1) * norm(2)), 6))
+    assert got[(1, 3)] == (dot13, round(dot13 / (norm(1) * norm(3)), 6))
+    # rare-token overlap dominates stopword overlap
+    assert got[(1, 2)][1] > got[(1, 3)][1]

@@ -72,6 +72,7 @@ HEADLINE = [
     "phonetic_blocking",
     "meta_blocking",
     "kn_counts",
+    "tfidf_cosine",
 ]
 
 # Max allowed ``Exchange SinglePartition`` occurrences: pack_sequences owns
