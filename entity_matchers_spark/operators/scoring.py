@@ -188,3 +188,58 @@ def fit_threshold(scored_labeled: DataFrame, score_col: str = "score") -> tuple[
     )
     best = curve.orderBy(F.col("f1").desc(), F.col(score_col).desc()).select(score_col, "f1").first()
     return float(best[0]), float(best[1])
+
+
+def fellegi_sunter_weights(
+    labeled: DataFrame,
+    agreement_cols: list[str],
+    label_col: str = "y",
+) -> DataFrame:
+    """Fellegi-Sunter probabilistic record linkage (Fellegi & Sunter 1969):
+    per-feature agreement probabilities among matches (``m_k``) and
+    non-matches (``u_k``) are estimated from the labeled comparison space
+    with add-one smoothing, and every pair gets the classic log-likelihood
+    weight
+
+        w = Σ_k  a_k ? ln(m_k/u_k) : ln((1-m_k)/(1-u_k))
+
+    plus ``is_link = (w > 0)``. This is the decision model the
+    rule/threshold matchers in ``matching.py`` approximate; the reference
+    reaches the same decisions through learned scorers
+    (/root/reference/OpenEA_Mod/src/openea/modules/finding/alignment.py
+    mutual-best over learned sims) — FS is the classical closed-form
+    counterpart.
+
+    Determinism: the m/u estimates are ONE row of integer counts (a single
+    partially-aggregated pass), entering every pair through a broadcast
+    cross-join; the per-pair weight is a fixed-order sum of K CASE terms —
+    no group-order-dependent float reduction anywhere, so the oracle
+    replays it bit-for-bit. Scale: one agg + one map-side broadcast join.
+    """
+    y = F.col(label_col)
+    aggs = [
+        F.sum(F.when(y, 1).otherwise(0)).cast("long").alias("nm"),
+        F.sum(F.when(~y, 1).otherwise(0)).cast("long").alias("nu"),
+    ]
+    for i, c in enumerate(agreement_cols):
+        a = F.col(c)
+        aggs.append(F.sum(F.when(y & a, 1).otherwise(0)).cast("long").alias(f"cm{i}"))
+        aggs.append(F.sum(F.when(~y & a, 1).otherwise(0)).cast("long").alias(f"cu{i}"))
+    cnt = labeled.agg(*aggs)
+    out = labeled.crossJoin(F.broadcast(cnt))
+    w = None
+    for i, c in enumerate(agreement_cols):
+        m = (F.col(f"cm{i}") + F.lit(1.0)) / (F.col("nm") + F.lit(2.0))
+        u = (F.col(f"cu{i}") + F.lit(1.0)) / (F.col("nu") + F.lit(2.0))
+        term = F.when(F.col(c), F.log(m / u)).otherwise(
+            F.log((F.lit(1.0) - m) / (F.lit(1.0) - u))
+        )
+        w = term if w is None else w + term
+    drop = ["nm", "nu"] + [f"cm{i}" for i in range(len(agreement_cols))] + [
+        f"cu{i}" for i in range(len(agreement_cols))
+    ]
+    return (
+        out.withColumn("fs_weight", F.round(w, 6))
+        .withColumn("is_link", (F.col("fs_weight") > 0).cast("int"))
+        .drop(*drop)
+    )

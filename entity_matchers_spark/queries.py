@@ -4561,6 +4561,75 @@ JOIN norms na ON na.id = p.id_a JOIN norms nb ON nb.id = p.id_b
 """
 
 
+FS_JW_T = 0.9
+FS_TSLR_T = 0.9
+FS_COS_T = 0.8
+
+
+def q_fellegi_sunter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fellegi-Sunter log-likelihood linkage weights over the shared ER
+    candidate pairs: agreement indicators from the jw/tslr/cos features,
+    labels from the derived jac3-truth (same truth set the eval queries
+    use), m/u estimated with add-one smoothing."""
+    from entity_matchers_spark.operators.scoring import fellegi_sunter_weights
+
+    scored = _er_spark_scores(spark, sf_dir)
+    lab = scored.select(
+        "id_a", "id_b",
+        (F.col("jw") >= FS_JW_T).alias("a_jw"),
+        (F.col("tslr") >= FS_TSLR_T).alias("a_tslr"),
+        (F.col("cos") >= FS_COS_T).alias("a_cos"),
+        (F.col("jac3") >= 0.55).alias("y"),
+    )
+    out = fellegi_sunter_weights(lab, ["a_jw", "a_tslr", "a_cos"], "y")
+    return out.select(
+        "id_a", "id_b",
+        F.col("a_jw").cast("int").alias("a_jw"),
+        F.col("a_tslr").cast("int").alias("a_tslr"),
+        F.col("a_cos").cast("int").alias("a_cos"),
+        "fs_weight", "is_link",
+    )
+
+
+Q_FELLEGI_SUNTER_SQL = f"""
+WITH {_er_blocks_sql()}, {_er_pairs_sql()}, {_er_scores_sql()},
+lab AS MATERIALIZED (
+  SELECT id_a, id_b, (jw >= {FS_JW_T}) AS a_jw, (tslr >= {FS_TSLR_T}) AS a_tslr,
+         (cos >= {FS_COS_T}) AS a_cos, (jac3 >= 0.55) AS y
+  FROM final_scored
+),
+cnt AS (
+  SELECT sum(CASE WHEN y THEN 1 ELSE 0 END)::BIGINT AS nm,
+         sum(CASE WHEN NOT y THEN 1 ELSE 0 END)::BIGINT AS nu,
+         sum(CASE WHEN y AND a_jw THEN 1 ELSE 0 END)::BIGINT AS cm0,
+         sum(CASE WHEN NOT y AND a_jw THEN 1 ELSE 0 END)::BIGINT AS cu0,
+         sum(CASE WHEN y AND a_tslr THEN 1 ELSE 0 END)::BIGINT AS cm1,
+         sum(CASE WHEN NOT y AND a_tslr THEN 1 ELSE 0 END)::BIGINT AS cu1,
+         sum(CASE WHEN y AND a_cos THEN 1 ELSE 0 END)::BIGINT AS cm2,
+         sum(CASE WHEN NOT y AND a_cos THEN 1 ELSE 0 END)::BIGINT AS cu2
+  FROM lab
+),
+weighted AS (
+  SELECT id_a, id_b, a_jw::INT AS a_jw, a_tslr::INT AS a_tslr, a_cos::INT AS a_cos,
+    round(
+      (CASE WHEN a_jw
+            THEN ln(((cm0::DOUBLE + 1.0) / (nm::DOUBLE + 2.0)) / ((cu0::DOUBLE + 1.0) / (nu::DOUBLE + 2.0)))
+            ELSE ln((1.0 - (cm0::DOUBLE + 1.0) / (nm::DOUBLE + 2.0)) / (1.0 - (cu0::DOUBLE + 1.0) / (nu::DOUBLE + 2.0))) END)
+      + (CASE WHEN a_tslr
+            THEN ln(((cm1::DOUBLE + 1.0) / (nm::DOUBLE + 2.0)) / ((cu1::DOUBLE + 1.0) / (nu::DOUBLE + 2.0)))
+            ELSE ln((1.0 - (cm1::DOUBLE + 1.0) / (nm::DOUBLE + 2.0)) / (1.0 - (cu1::DOUBLE + 1.0) / (nu::DOUBLE + 2.0))) END)
+      + (CASE WHEN a_cos
+            THEN ln(((cm2::DOUBLE + 1.0) / (nm::DOUBLE + 2.0)) / ((cu2::DOUBLE + 1.0) / (nu::DOUBLE + 2.0)))
+            ELSE ln((1.0 - (cm2::DOUBLE + 1.0) / (nm::DOUBLE + 2.0)) / (1.0 - (cu2::DOUBLE + 1.0) / (nu::DOUBLE + 2.0))) END)
+    , 6) AS fs_weight
+  FROM lab CROSS JOIN cnt
+)
+SELECT id_a, id_b, a_jw, a_tslr, a_cos, fs_weight,
+       (fs_weight > 0)::INT AS is_link
+FROM weighted
+"""
+
+
 QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     # -- (0) new in this round-3 session
     "snm_blocking": (q_snm_blocking, Q_SNM_BLOCKING_SQL),
@@ -4569,6 +4638,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "hits": (q_hits, Q_HITS_SQL),
     "kn_counts": (q_kn_counts, Q_KN_COUNTS_SQL),
     "tfidf_cosine": (q_tfidf_cosine, Q_TFIDF_COSINE_SQL),
+    "fellegi_sunter": (q_fellegi_sunter, Q_FELLEGI_SUNTER_SQL),
     "hll_distinct": (q_hll_distinct, _build_hll_sql()),
     "events_asof_enrich": (q_events_asof_enrich, Q_EVENTS_ASOF_SQL),
     "interval_overlap": (q_interval_overlap, Q_INTERVAL_OVERLAP_SQL),

@@ -382,3 +382,36 @@ def test_incremental_assign_orientations_and_new(spark):
     assert (out[20].matched_to, out[20].is_new) == (3, 0)
     assert out[30].matched_to is None and out[30].is_new == 1
     assert out[40].matched_to is None and out[40].is_new == 1  # no candidates at all
+
+
+def test_fellegi_sunter_hand_case(spark):
+    """m/u with add-one smoothing + fixed-order weight sum, replayed
+    driver-side; agreeing matched pairs land positive, disagreeing negative."""
+    import math
+
+    from entity_matchers_spark.operators.scoring import fellegi_sunter_weights
+
+    rows = [
+        # (id_a, id_b, a1, a2, y)
+        (1, 2, True, True, True),
+        (3, 4, True, False, True),
+        (5, 6, False, False, False),
+        (7, 8, True, False, False),
+        (9, 10, False, False, False),
+    ]
+    df = spark.createDataFrame(
+        rows, "id_a long, id_b long, a1 boolean, a2 boolean, y boolean"
+    )
+    got = {(r.id_a, r.id_b): (r.fs_weight, r.is_link)
+           for r in fellegi_sunter_weights(df, ["a1", "a2"], "y").collect()}
+    nm, nu = 2, 3
+    m = [(2 + 1.0) / (nm + 2.0), (1 + 1.0) / (nm + 2.0)]
+    u = [(1 + 1.0) / (nu + 2.0), (0 + 1.0) / (nu + 2.0)]
+    def w(a1, a2):
+        t0 = math.log(m[0] / u[0]) if a1 else math.log((1 - m[0]) / (1 - u[0]))
+        t1 = math.log(m[1] / u[1]) if a2 else math.log((1 - m[1]) / (1 - u[1]))
+        return round(t0 + t1, 6)
+    for (ia, ib, a1, a2, _y) in rows:
+        exp = w(a1, a2)
+        assert got[(ia, ib)] == (exp, int(exp > 0))
+    assert got[(1, 2)][1] == 1 and got[(9, 10)][1] == 0

@@ -73,6 +73,7 @@ HEADLINE = [
     "meta_blocking",
     "kn_counts",
     "tfidf_cosine",
+    "fellegi_sunter",
 ]
 
 # Max allowed ``Exchange SinglePartition`` occurrences: pack_sequences owns
