@@ -4630,6 +4630,34 @@ FROM weighted
 """
 
 
+def q_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment join run to completion with AvailableNow:
+    the streaming events pick up a static per-user profile (count + max —
+    order-independent aggregates); output must equal the batch join."""
+    from entity_matchers_spark.streaming.events import (
+        run_stream_to_df,
+        stream_static_enrich,
+        user_profile_dim,
+    )
+
+    part = f"{sf_dir}/events.parquet"
+    dim = user_profile_dim(spark.read.parquet(part))
+    return run_stream_to_df(
+        spark, part, lambda s: stream_static_enrich(s, dim), output_mode="append"
+    )
+
+
+Q_STREAM_ENRICH_SQL = """
+WITH dim AS (
+  SELECT user_id, count(*)::BIGINT AS user_n, max(value) AS vmax
+  FROM events GROUP BY user_id
+)
+SELECT e.event_id, e.user_id, e.event_type, d.user_n, d.vmax,
+       (e.value >= d.vmax)::INT AS is_user_max
+FROM events e JOIN dim d USING (user_id)
+"""
+
+
 QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     # -- (0) new in this round-3 session
     "snm_blocking": (q_snm_blocking, Q_SNM_BLOCKING_SQL),
@@ -4639,6 +4667,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "kn_counts": (q_kn_counts, Q_KN_COUNTS_SQL),
     "tfidf_cosine": (q_tfidf_cosine, Q_TFIDF_COSINE_SQL),
     "fellegi_sunter": (q_fellegi_sunter, Q_FELLEGI_SUNTER_SQL),
+    "stream_enrich": (q_stream_enrich, Q_STREAM_ENRICH_SQL),
     "hll_distinct": (q_hll_distinct, _build_hll_sql()),
     "events_asof_enrich": (q_events_asof_enrich, Q_EVENTS_ASOF_SQL),
     "interval_overlap": (q_interval_overlap, Q_INTERVAL_OVERLAP_SQL),

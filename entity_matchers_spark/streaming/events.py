@@ -295,3 +295,36 @@ def run_stream_to_df(
         )
         q.awaitTermination()
     return spark.table(name)
+
+
+def stream_static_enrich(events: DataFrame, user_dim: DataFrame) -> DataFrame:
+    """Stream-static enrichment join: each (possibly streaming) event picks
+    up its user's precomputed profile row — the canonical "dimension table
+    beside a stream" pattern (stateless; no watermark needed because the
+    static side never changes within a run).
+
+    The profile columns are deliberately order-independent aggregates
+    (count, max) so batch and stream runs — and the SQL oracle — agree
+    bit-for-bit; ``is_user_max`` flags the event that attains its user's
+    maximum value. On a cluster the static side is a broadcast by size;
+    the hint is left to AQE because a 10^9-user profile table must
+    shuffle-join instead."""
+    e = events
+    if events.isStreaming:
+        e = e.withColumn("ts", F.col("ts").cast("timestamp"))
+    return (
+        e.join(user_dim, "user_id")
+        .select(
+            "event_id", "user_id", "event_type", "user_n", "vmax",
+            (F.col("value") >= F.col("vmax")).cast("int").alias("is_user_max"),
+        )
+    )
+
+
+def user_profile_dim(events_static: DataFrame) -> DataFrame:
+    """(user_id, user_n, vmax): the static profile side for
+    :func:`stream_static_enrich` — one partially-aggregated groupBy over
+    the historical table."""
+    return events_static.groupBy("user_id").agg(
+        F.count("*").alias("user_n"), F.max("value").alias("vmax")
+    )

@@ -489,3 +489,18 @@ def test_kneser_ney_counts_hand_case(spark):
     r = rows[("b", "c")]
     assert (r.c12, r.c1, r.n_follow, r.n_prec) == (2, 3, 2, 1)
     assert r.pkn == round(max(2 - d, 0) / 3 + ((d * 2) / 3) * (1 / 3), 6)
+
+
+def test_stream_static_enrich_batch_parity(spark):
+    from entity_matchers_spark.streaming.events import (
+        stream_static_enrich,
+        user_profile_dim,
+    )
+
+    ev = spark.createDataFrame(
+        [(1, 10, "c", 5.0), (2, 10, "c", 9.0), (3, 20, "v", 1.0)],
+        "event_id long, user_id long, event_type string, value double",
+    )
+    got = {r.event_id: (r.user_n, r.vmax, r.is_user_max)
+           for r in stream_static_enrich(ev, user_profile_dim(ev)).collect()}
+    assert got == {1: (2, 9.0, 0), 2: (2, 9.0, 1), 3: (1, 1.0, 1)}
