@@ -572,3 +572,50 @@ def meta_blocking_prune(
         )
         return kept.join(edges, ["id_a", "id_b"]).select("id_a", "id_b", "cbs", "js")
     raise ValueError(f"unknown meta-blocking scheme: {scheme!r}")
+
+
+def blocking_quality(
+    blocks: DataFrame, gold_pairs: DataFrame, n_entities: int
+) -> DataFrame:
+    """One-row blocking-quality audit in the standard vocabulary
+    (Christen 2012): **reduction ratio** RR = 1 − candidates / all-pairs
+    and **pairs completeness** PC = gold pairs co-blocked / gold pairs.
+
+    The candidate count is the per-block pair budget Σ nb·(nb−1)/2 computed
+    from block SIZES — never materializing the pairs (the audit must stay
+    linear even when the blocking it audits would explode; exact when each
+    id carries one key per block family, an upper bound under overlap).
+    PC comes from a bounded semi-join: gold × blocks(id_a) semi-joined on
+    (block_id, id_b) — a gold pair is covered iff some block holds both
+    sides. Both ratios are single divisions of exact integers."""
+    sizes = blocks.groupBy("block_id").agg(F.count("*").alias("nb"))
+    budget = sizes.agg(
+        F.sum((F.col("nb") * (F.col("nb") - 1) / 2).cast("long")).alias("n_cands")
+    )
+    ba = blocks.select(F.col("id").alias("id_a"), "block_id")
+    bb = blocks.select(F.col("id").alias("id_b"), "block_id")
+    covered = (
+        gold_pairs.join(ba, "id_a")
+        .join(bb, ["block_id", "id_b"], "left_semi")
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    total_pairs = n_entities * (n_entities - 1) // 2
+    return (
+        gold_pairs.agg(F.count("*").alias("n_gold"))
+        .crossJoin(covered.agg(F.count("*").alias("n_covered")))
+        .crossJoin(F.broadcast(budget))
+        .select(
+            F.lit(int(n_entities)).cast("long").alias("n_entities"),
+            F.lit(int(total_pairs)).cast("long").alias("total_pairs"),
+            F.col("n_cands").cast("long").alias("n_cands"),
+            F.col("n_gold").cast("long").alias("n_gold"),
+            F.col("n_covered").cast("long").alias("n_covered"),
+            F.round(
+                F.lit(1.0) - F.col("n_cands") / F.lit(float(total_pairs)), 6
+            ).alias("reduction_ratio"),
+            F.round(F.col("n_covered") / F.col("n_gold"), 6).alias(
+                "pairs_completeness"
+            ),
+        )
+    )

@@ -4658,6 +4658,50 @@ FROM events e JOIN dim d USING (user_id)
 """
 
 
+def q_blocking_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reduction ratio + pairs completeness (Christen 2012) of the
+    domain-only blocking, audited against the derived jac3-truth from the
+    full MinHash+domain chain — "how much recall would domain keys alone
+    keep, at what pair budget". Candidate count from block sizes (exact
+    here: one domain key per id), never materializing pairs."""
+    docs = _docs(spark, sf_dir)
+    dom = docs.select(
+        F.col("doc_id").alias("id"),
+        F.concat(F.lit("dom:"), F.col("source")).alias("block_id"),
+    )
+    gold = _er_spark_scores(spark, sf_dir).where(F.col("jac3") >= 0.55).select(
+        "id_a", "id_b"
+    )
+    return blocking.blocking_quality(dom, gold, n_entities=docs.count())
+
+
+def _blocking_quality_sql() -> str:
+    return f"""
+WITH {_er_blocks_sql()}, {_er_pairs_sql()}, {_er_scores_sql()},
+gold AS MATERIALIZED (SELECT id_a, id_b FROM final_scored WHERE jac3 >= 0.55),
+dom AS (SELECT doc_id AS id, 'dom:' || source AS block_id FROM documents),
+sizes AS (SELECT block_id, count(*)::BIGINT AS nb FROM dom GROUP BY block_id),
+budget AS (SELECT sum((nb * (nb - 1) / 2)::BIGINT)::BIGINT AS n_cands FROM sizes),
+covered AS (
+  SELECT DISTINCT g.id_a, g.id_b
+  FROM gold g JOIN dom a ON a.id = g.id_a JOIN dom b ON b.id = g.id_b
+  WHERE a.block_id = b.block_id
+),
+nn AS (SELECT count(*)::BIGINT AS n FROM documents)
+SELECT nn.n AS n_entities,
+       (nn.n * (nn.n - 1) / 2)::BIGINT AS total_pairs,
+       budget.n_cands,
+       (SELECT count(*) FROM gold)::BIGINT AS n_gold,
+       (SELECT count(*) FROM covered)::BIGINT AS n_covered,
+       round(1.0 - budget.n_cands / ((nn.n * (nn.n - 1) / 2)::BIGINT)::DOUBLE, 6) AS reduction_ratio,
+       round((SELECT count(*) FROM covered) / (SELECT count(*) FROM gold)::DOUBLE, 6) AS pairs_completeness
+FROM nn CROSS JOIN budget
+"""
+
+
+Q_BLOCKING_QUALITY_SQL = _blocking_quality_sql()
+
+
 QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     # -- (0) new in this round-3 session
     "snm_blocking": (q_snm_blocking, Q_SNM_BLOCKING_SQL),
@@ -4668,6 +4712,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "tfidf_cosine": (q_tfidf_cosine, Q_TFIDF_COSINE_SQL),
     "fellegi_sunter": (q_fellegi_sunter, Q_FELLEGI_SUNTER_SQL),
     "stream_enrich": (q_stream_enrich, Q_STREAM_ENRICH_SQL),
+    "blocking_quality": (q_blocking_quality, Q_BLOCKING_QUALITY_SQL),
     "hll_distinct": (q_hll_distinct, _build_hll_sql()),
     "events_asof_enrich": (q_events_asof_enrich, Q_EVENTS_ASOF_SQL),
     "interval_overlap": (q_interval_overlap, Q_INTERVAL_OVERLAP_SQL),

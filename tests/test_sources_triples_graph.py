@@ -504,3 +504,20 @@ def test_stream_static_enrich_batch_parity(spark):
     got = {r.event_id: (r.user_n, r.vmax, r.is_user_max)
            for r in stream_static_enrich(ev, user_profile_dim(ev)).collect()}
     assert got == {1: (2, 9.0, 0), 2: (2, 9.0, 1), 3: (1, 1.0, 1)}
+
+
+def test_blocking_quality_rr_pc(spark):
+    from entity_matchers_spark.operators.blocking import blocking_quality
+
+    blocks = spark.createDataFrame(
+        [(1, "x"), (2, "x"), (3, "x"), (4, "y"), (5, "y")],
+        "id long, block_id string",
+    )
+    gold = spark.createDataFrame(
+        [(1, 2), (4, 5), (1, 4)], "id_a long, id_b long"
+    )
+    r = blocking_quality(blocks, gold, n_entities=5).collect()[0]
+    # budget: C(3,2)+C(2,2)=3+1=4 of C(5,2)=10 total; covered: (1,2),(4,5)
+    assert (r.n_cands, r.total_pairs, r.n_gold, r.n_covered) == (4, 10, 3, 2)
+    assert r.reduction_ratio == round(1.0 - 4 / 10.0, 6)
+    assert r.pairs_completeness == round(2 / 3.0, 6)
