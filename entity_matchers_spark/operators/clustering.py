@@ -126,3 +126,50 @@ def clusters_with_singletons(
         .join(cc, "id", "left")
         .select("id", F.coalesce(F.col("cluster_id"), F.col("id")).alias("cluster_id"))
     )
+
+
+def golden_records(
+    clusters: DataFrame,
+    records: DataFrame,
+    id_col: str = "doc_id",
+    attr_cols: tuple[str, ...] = ("source", "lang"),
+    size_col: str = "n_chars",
+) -> DataFrame:
+    """Survivorship: collapse each entity cluster to ONE canonical ("golden")
+    record — the step after transitive clustering that master-data pipelines
+    ship downstream. Rules, all deterministic:
+
+    - ``canonical_id``: the cluster's minimum member id (stable anchor);
+    - each attribute in ``attr_cols``: majority vote across members, ties
+      broken by ascending value (one groupBy + one bounded window per
+      attribute — windows partition by cluster, never global);
+    - ``max_chars``: the richest member's ``size_col`` (order-independent
+      max), the usual "most complete record wins" signal.
+
+    Scale shape: everything is per-cluster aggregation; the attribute
+    windows run over (cluster, attr-value) COUNTS, not members, so a
+    million-member cluster costs its distinct-value count, not its size.
+    """
+    from pyspark.sql import Window
+
+    j = records.join(
+        clusters.select(F.col(id_col).alias("_id"), "cluster_id"),
+        records[id_col] == F.col("_id"),
+    ).drop("_id")
+    base = j.groupBy("cluster_id").agg(
+        F.count("*").alias("n_members"),
+        F.min(id_col).alias("canonical_id"),
+        F.max(size_col).alias("max_chars"),
+    )
+    for attr in attr_cols:
+        cnt = j.groupBy("cluster_id", attr).agg(F.count("*").alias("_c"))
+        w = Window.partitionBy("cluster_id").orderBy(
+            F.col("_c").desc(), F.col(attr).asc()
+        )
+        top = (
+            cnt.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .select("cluster_id", attr)
+        )
+        base = base.join(top, "cluster_id")
+    return base

@@ -4702,6 +4702,138 @@ FROM nn CROSS JOIN budget
 Q_BLOCKING_QUALITY_SQL = _blocking_quality_sql()
 
 
+ME_MAX_TOKENS = 12
+ME_QUANT = 1_000_000
+
+
+def q_monge_elkan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monge-Elkan JW hybrid similarity over the shared ER candidate pairs
+    (both directions + symmetric mean) — integer-quantized token JW so the
+    max/sum reductions are order-independent."""
+    from entity_matchers_spark.operators.scoring import monge_elkan_scores
+
+    return monge_elkan_scores(
+        _er_spark_pairs(spark, sf_dir), _docs(spark, sf_dir),
+        max_tokens=ME_MAX_TOKENS, quant=ME_QUANT,
+    )
+
+
+Q_MONGE_ELKAN_SQL = f"""
+WITH {_er_blocks_sql()}, {_er_pairs_sql()},
+tl AS MATERIALIZED (
+  SELECT doc_id AS id,
+         (list_sort(list_distinct(
+            list_filter(string_split_regex(lower(text), '\\s+'), x -> x != '')
+          )))[1:{ME_MAX_TOKENS}] AS tl
+  FROM documents
+),
+e AS MATERIALIZED (
+  SELECT p.id_a, p.id_b, ta.t AS ta, tb.t AS tb,
+         round(jaro_winkler_similarity(ta.t, tb.t) * {ME_QUANT})::BIGINT AS q
+  FROM pairs p
+  JOIN tl a ON a.id = p.id_a
+  JOIN tl b ON b.id = p.id_b,
+  unnest(a.tl) AS ta(t), unnest(b.tl) AS tb(t)
+),
+mxa AS MATERIALIZED (
+  SELECT id_a, id_b, ta, max(q) AS mq FROM e GROUP BY 1, 2, 3
+),
+mxb AS MATERIALIZED (
+  SELECT id_a, id_b, tb, max(q) AS mq FROM e GROUP BY 1, 2, 3
+),
+ab AS (
+  SELECT id_a, id_b,
+         sum(mq)::DOUBLE / (count(*)::DOUBLE * {ME_QUANT}.0) AS me_ab
+  FROM mxa GROUP BY 1, 2
+),
+ba AS (
+  SELECT id_a, id_b,
+         sum(mq)::DOUBLE / (count(*)::DOUBLE * {ME_QUANT}.0) AS me_ba
+  FROM mxb GROUP BY 1, 2
+)
+SELECT ab.id_a, ab.id_b,
+       round(me_ab, 6) AS me_ab, round(me_ba, 6) AS me_ba,
+       round((me_ab + me_ba) / 2, 6) AS me_sym
+FROM ab JOIN ba USING (id_a, id_b)
+"""
+
+
+def q_golden_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survivorship after transitive clustering: one canonical record per
+    entity cluster (min-id anchor, per-attribute majority with ascending
+    tie-break, richest-member size) — the MDM "golden record" step the
+    matching chain feeds."""
+    from entity_matchers_spark.operators.clustering import golden_records
+
+    scored = _er_spark_scores(spark, sf_dir)
+    edges = matching.mutual_best(scored, min_score=ER_EDGE_THRESHOLD).select("id_a", "id_b")
+    docs = _docs(spark, sf_dir)
+    clusters = clustering.clusters_with_singletons(docs, edges, id_col="doc_id").select(
+        F.col("id").alias("doc_id"), "cluster_id"
+    )
+    return golden_records(clusters, docs, id_col="doc_id",
+                          attr_cols=("source", "lang"), size_col="n_chars")
+
+
+Q_GOLDEN_RECORDS_SQL = (
+    f"WITH RECURSIVE {_er_blocks_sql()}, {_er_pairs_sql()}, {_er_scores_sql()}, "
+    f"""
+  thresholded AS (SELECT * FROM final_scored WHERE score >= {ER_EDGE_THRESHOLD}),
+  best_a AS (
+    SELECT id_a, id_b FROM (
+      SELECT id_a, id_b,
+             row_number() OVER (PARTITION BY id_a ORDER BY score DESC, id_b ASC) AS rn
+      FROM thresholded) WHERE rn = 1
+  ),
+  best_b AS (
+    SELECT id_a, id_b FROM (
+      SELECT id_a, id_b,
+             row_number() OVER (PARTITION BY id_b ORDER BY score DESC, id_a ASC) AS rn
+      FROM thresholded) WHERE rn = 1
+  ),
+  edges AS (
+    SELECT s.id_a, s.id_b FROM thresholded s
+    JOIN best_a USING (id_a, id_b) JOIN best_b USING (id_a, id_b)
+  ),
+  und AS (
+    SELECT id_a AS u, id_b AS v FROM edges
+    UNION SELECT id_b AS u, id_a AS v FROM edges
+  ),
+  reach(u, v) AS (
+    SELECT u, v FROM und
+    UNION
+    SELECT r.u, n.v FROM reach r JOIN und n ON r.v = n.u
+  ),
+  cc AS (SELECT u AS id, least(u, min(v)) AS cluster_id FROM reach GROUP BY u),
+  joined AS MATERIALIZED (
+    SELECT coalesce(cc.cluster_id, d.doc_id) AS cluster_id, d.doc_id, d.source, d.lang, d.n_chars
+    FROM documents d LEFT JOIN cc ON d.doc_id = cc.id
+  ),
+  base AS (
+    SELECT cluster_id, count(*)::BIGINT AS n_members, min(doc_id) AS canonical_id,
+           max(n_chars) AS max_chars
+    FROM joined GROUP BY cluster_id
+  ),
+  top_source AS (
+    SELECT cluster_id, source FROM (
+      SELECT cluster_id, source,
+             row_number() OVER (PARTITION BY cluster_id
+                                ORDER BY count(*) DESC, source ASC) AS rn
+      FROM joined GROUP BY cluster_id, source) WHERE rn = 1
+  ),
+  top_lang AS (
+    SELECT cluster_id, lang FROM (
+      SELECT cluster_id, lang,
+             row_number() OVER (PARTITION BY cluster_id
+                                ORDER BY count(*) DESC, lang ASC) AS rn
+      FROM joined GROUP BY cluster_id, lang) WHERE rn = 1
+  )
+SELECT b.cluster_id, b.n_members, b.canonical_id, b.max_chars, s.source, l.lang
+FROM base b JOIN top_source s USING (cluster_id) JOIN top_lang l USING (cluster_id)
+"""
+)
+
+
 QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     # -- (0) new in this round-3 session
     "snm_blocking": (q_snm_blocking, Q_SNM_BLOCKING_SQL),
@@ -4713,6 +4845,8 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "fellegi_sunter": (q_fellegi_sunter, Q_FELLEGI_SUNTER_SQL),
     "stream_enrich": (q_stream_enrich, Q_STREAM_ENRICH_SQL),
     "blocking_quality": (q_blocking_quality, Q_BLOCKING_QUALITY_SQL),
+    "monge_elkan": (q_monge_elkan, Q_MONGE_ELKAN_SQL),
+    "golden_records": (q_golden_records, Q_GOLDEN_RECORDS_SQL),
     "hll_distinct": (q_hll_distinct, _build_hll_sql()),
     "events_asof_enrich": (q_events_asof_enrich, Q_EVENTS_ASOF_SQL),
     "interval_overlap": (q_interval_overlap, Q_INTERVAL_OVERLAP_SQL),

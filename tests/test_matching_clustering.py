@@ -415,3 +415,60 @@ def test_fellegi_sunter_hand_case(spark):
         exp = w(a1, a2)
         assert got[(ia, ib)] == (exp, int(exp > 0))
     assert got[(1, 2)][1] == 1 and got[(9, 10)][1] == 0
+
+
+def test_monge_elkan_hand_case(spark):
+    """ME(A->B) = mean of each A-token's best JW match in B, replayed
+    driver-side with the same quantization."""
+    from entity_matchers_spark.functions.similarity import _jaro_winkler_one
+    from entity_matchers_spark.operators.scoring import monge_elkan_scores
+
+    docs = spark.createDataFrame(
+        [(1, "peter christen"), (2, "christian pedro")],
+        "doc_id long, text string",
+    )
+    pairs = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+    r = monge_elkan_scores(pairs, docs).collect()[0]
+    A = sorted({"peter", "christen"})
+    B = sorted({"christian", "pedro"})
+    q = {(a, b): round(_jaro_winkler_one(a, b) * 1_000_000) for a in A for b in B}
+    me_ab = sum(max(q[(a, b)] for b in B) for a in A) / (len(A) * 1_000_000.0)
+    me_ba = sum(max(q[(a, b)] for a in A) for b in B) / (len(B) * 1_000_000.0)
+
+    def r6(x):
+        # Spark's round = HALF_UP on the shortest decimal repr (this hand
+        # case lands exactly on a .5 6-dp boundary; python round() is
+        # half-even on the binary value and disagrees there)
+        from decimal import ROUND_HALF_UP, Decimal
+
+        return float(Decimal(repr(x)).quantize(Decimal("0.000001"), ROUND_HALF_UP))
+
+    assert r.me_ab == r6(me_ab)
+    assert r.me_ba == r6(me_ba)
+    assert r.me_sym == r6((me_ab + me_ba) / 2)
+
+
+def test_golden_records_survivorship(spark):
+    from entity_matchers_spark.operators.clustering import golden_records
+
+    clusters = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (9, 9)], "doc_id long, cluster_id long"
+    )
+    recs = spark.createDataFrame(
+        [
+            (1, "s1", "en", 100),
+            (2, "s2", "en", 300),
+            (3, "s2", "de", 200),
+            (9, "s9", "fr", 50),
+        ],
+        "doc_id long, source string, lang string, n_chars long",
+    )
+    got = {r.cluster_id: r for r in golden_records(clusters, recs).collect()}
+    g = got[1]
+    # majority source s2 (2 votes), lang tie en/de 1-1... en vs de: counts
+    # en=2, de=1 -> en; canonical = min id, max_chars = richest member
+    assert (g.n_members, g.canonical_id, g.max_chars) == (3, 1, 300)
+    assert (g.source, g.lang) == ("s2", "en")
+    s = got[9]
+    assert (s.n_members, s.canonical_id, s.source, s.lang, s.max_chars) == (
+        1, 9, "s9", "fr", 50)

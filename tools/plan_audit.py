@@ -74,6 +74,8 @@ HEADLINE = [
     "kn_counts",
     "tfidf_cosine",
     "fellegi_sunter",
+    "monge_elkan",
+    "golden_records",
 ]
 
 # Max allowed ``Exchange SinglePartition`` occurrences: pack_sequences owns
