@@ -134,3 +134,62 @@ def kfold_prf1(
         p.alias("precision"), r.alias("recall"),
         (2 * p * r / (p + r)).alias("f1"),
     )
+
+
+def bcubed(
+    pred: DataFrame,
+    truth: DataFrame,
+    id_col: str = "id",
+    quant: int = 10**9,
+) -> DataFrame:
+    """B-cubed clustering precision/recall/F1 (Bagga & Baldwin 1998) — the
+    per-RECORD clustering metric the ER-evaluation literature recommends
+    over pairwise F1 (pairwise over-weights big clusters; B-cubed weights
+    every record equally):
+
+        P_i = |cluster(i) ∩ class(i)| / |cluster(i)|   (averaged over i)
+        R_i = |cluster(i) ∩ class(i)| / |class(i)|
+
+    ``pred`` is (id, cluster_id), ``truth`` is (id, class_id); records
+    present in both sides are scored.
+
+    Determinism: each record's P_i/R_i is one integer division quantized to
+    ``quant`` points, the averages are INTEGER sums of those points, and
+    the final P/R/F floats are fixed-order expressions of the two sums —
+    no order-dependent float reduction, so the oracle replays bit-for-bit.
+
+    Scale shape: three partially-aggregated groupBys (cluster, class,
+    cluster×class) + per-record joins on those keys; the final reduce is
+    one row. Sum bound: quant·n < 2^63 for n up to ~9·10^9 records.
+    """
+    j = pred.select(F.col(id_col).alias("id"), "cluster_id").join(
+        truth.select(F.col(id_col).alias("id"), "class_id"), "id"
+    )
+    c_sz = j.groupBy("cluster_id").agg(F.count("*").alias("c_n"))
+    t_sz = j.groupBy("class_id").agg(F.count("*").alias("t_n"))
+    ct_sz = j.groupBy("cluster_id", "class_id").agg(F.count("*").alias("ct_n"))
+    q = F.lit(float(quant))
+    per = (
+        j.join(ct_sz, ["cluster_id", "class_id"])
+        .join(c_sz, "cluster_id")
+        .join(t_sz, "class_id")
+        .select(
+            F.round(q * F.col("ct_n") / F.col("c_n")).cast("long").alias("qp"),
+            F.round(q * F.col("ct_n") / F.col("t_n")).cast("long").alias("qr"),
+        )
+    )
+    agg = per.agg(
+        F.count("*").alias("n"),
+        F.sum("qp").alias("sp"),
+        F.sum("qr").alias("sr"),
+    )
+    p = F.col("sp") / (F.col("n") * q)
+    r = F.col("sr") / (F.col("n") * q)
+    return agg.select(
+        F.col("n").cast("long").alias("n"),
+        F.round(p, 6).alias("bcubed_p"),
+        F.round(r, 6).alias("bcubed_r"),
+        F.round(
+            F.when(p + r > 0, F.lit(2.0) * p * r / (p + r)).otherwise(F.lit(0.0)), 6
+        ).alias("bcubed_f1"),
+    )

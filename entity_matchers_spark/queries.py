@@ -4834,8 +4834,108 @@ FROM base b JOIN top_source s USING (cluster_id) JOIN top_lang l USING (cluster_
 )
 
 
+def q_er_bcubed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B-cubed P/R/F1 of the mutual-best transitive clusters against the
+    truth classes (transitive closure of the jac3-derived truth pairs) —
+    the per-record clustering metric beside er_cluster_eval's pairwise F1."""
+    from entity_matchers_spark.operators.evaluation import bcubed
+
+    scored = _er_spark_scores(spark, sf_dir)
+    docs = _docs(spark, sf_dir)
+    edges = matching.mutual_best(scored, min_score=ER_EDGE_THRESHOLD).select("id_a", "id_b")
+    pred = clustering.clusters_with_singletons(docs, edges, id_col="doc_id").select(
+        F.col("id").alias("id"), "cluster_id"
+    )
+    truth_edges = scored.where(F.col("jac3") >= 0.55).select("id_a", "id_b")
+    truth = clustering.clusters_with_singletons(docs, truth_edges, id_col="doc_id").select(
+        F.col("id").alias("id"), F.col("cluster_id").alias("class_id")
+    )
+    return bcubed(pred, truth, id_col="id")
+
+
+Q_ER_BCUBED_SQL = (
+    f"WITH RECURSIVE {_er_blocks_sql()}, {_er_pairs_sql()}, {_er_scores_sql()}, "
+    f"""
+  thresholded AS (SELECT * FROM final_scored WHERE score >= {ER_EDGE_THRESHOLD}),
+  best_a AS (
+    SELECT id_a, id_b FROM (
+      SELECT id_a, id_b,
+             row_number() OVER (PARTITION BY id_a ORDER BY score DESC, id_b ASC) AS rn
+      FROM thresholded) WHERE rn = 1
+  ),
+  best_b AS (
+    SELECT id_a, id_b FROM (
+      SELECT id_a, id_b,
+             row_number() OVER (PARTITION BY id_b ORDER BY score DESC, id_a ASC) AS rn
+      FROM thresholded) WHERE rn = 1
+  ),
+  edges AS (
+    SELECT s.id_a, s.id_b FROM thresholded s
+    JOIN best_a USING (id_a, id_b) JOIN best_b USING (id_a, id_b)
+  ),
+  und AS (
+    SELECT id_a AS u, id_b AS v FROM edges
+    UNION SELECT id_b AS u, id_a AS v FROM edges
+  ),
+  reach(u, v) AS (
+    SELECT u, v FROM und
+    UNION
+    SELECT r.u, n.v FROM reach r JOIN und n ON r.v = n.u
+  ),
+  cc AS (SELECT u AS id, least(u, min(v)) AS cluster_id FROM reach GROUP BY u),
+  pred AS MATERIALIZED (
+    SELECT d.doc_id AS id, coalesce(cc.cluster_id, d.doc_id) AS cluster_id
+    FROM documents d LEFT JOIN cc ON d.doc_id = cc.id
+  ),
+  tedges AS (SELECT id_a, id_b FROM final_scored WHERE jac3 >= 0.55),
+  tund AS (
+    SELECT id_a AS u, id_b AS v FROM tedges
+    UNION SELECT id_b AS u, id_a AS v FROM tedges
+  ),
+  treach(u, v) AS (
+    SELECT u, v FROM tund
+    UNION
+    SELECT r.u, n.v FROM treach r JOIN tund n ON r.v = n.u
+  ),
+  tcc AS (SELECT u AS id, least(u, min(v)) AS class_id FROM treach GROUP BY u),
+  truth AS MATERIALIZED (
+    SELECT d.doc_id AS id, coalesce(tcc.class_id, d.doc_id) AS class_id
+    FROM documents d LEFT JOIN tcc ON d.doc_id = tcc.id
+  ),
+  j AS MATERIALIZED (
+    SELECT p.id, p.cluster_id, t.class_id FROM pred p JOIN truth t USING (id)
+  ),
+  c_sz AS (SELECT cluster_id, count(*)::BIGINT AS c_n FROM j GROUP BY cluster_id),
+  t_sz AS (SELECT class_id, count(*)::BIGINT AS t_n FROM j GROUP BY class_id),
+  ct_sz AS (
+    SELECT cluster_id, class_id, count(*)::BIGINT AS ct_n
+    FROM j GROUP BY cluster_id, class_id
+  ),
+  per AS (
+    SELECT round(1000000000.0 * ct.ct_n::DOUBLE / c.c_n::DOUBLE)::BIGINT AS qp,
+           round(1000000000.0 * ct.ct_n::DOUBLE / t.t_n::DOUBLE)::BIGINT AS qr
+    FROM j JOIN ct_sz ct USING (cluster_id, class_id)
+    JOIN c_sz c USING (cluster_id) JOIN t_sz t USING (class_id)
+  ),
+  agg AS (SELECT count(*)::BIGINT AS n, sum(qp)::BIGINT AS sp, sum(qr)::BIGINT AS sr FROM per)
+SELECT n,
+       round(sp::DOUBLE / (n::DOUBLE * 1000000000.0), 6) AS bcubed_p,
+       round(sr::DOUBLE / (n::DOUBLE * 1000000000.0), 6) AS bcubed_r,
+       round(CASE WHEN (sp::DOUBLE / (n::DOUBLE * 1000000000.0))
+                     + (sr::DOUBLE / (n::DOUBLE * 1000000000.0)) > 0
+                  THEN 2.0 * (sp::DOUBLE / (n::DOUBLE * 1000000000.0))
+                           * (sr::DOUBLE / (n::DOUBLE * 1000000000.0))
+                       / ((sp::DOUBLE / (n::DOUBLE * 1000000000.0))
+                          + (sr::DOUBLE / (n::DOUBLE * 1000000000.0)))
+                  ELSE 0.0 END, 6) AS bcubed_f1
+FROM agg
+"""
+)
+
+
 QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     # -- (0) new in this round-3 session
+    "er_bcubed": (q_er_bcubed, Q_ER_BCUBED_SQL),
     "snm_blocking": (q_snm_blocking, Q_SNM_BLOCKING_SQL),
     "phonetic_blocking": (q_phonetic_blocking, Q_PHONETIC_BLOCKING_SQL),
     "meta_blocking": (q_meta_blocking, Q_META_BLOCKING_SQL),
