@@ -4630,6 +4630,40 @@ FROM weighted
 """
 
 
+def q_stream_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream attribution join run to completion with AvailableNow:
+    two independent watermarked streams over the events file — views on one
+    side, clicks on the other — inner-joined on user within a 360-minute
+    event-time horizon. Both sides buffer state; output must equal the
+    batch range join (the oracle)."""
+    from entity_matchers_spark.streaming.events import (
+        run_two_stream_to_df,
+        stream_stream_attribution,
+    )
+
+    part = f"{sf_dir}/events.parquet"
+    return run_two_stream_to_df(
+        spark,
+        part,
+        lambda a, b: stream_stream_attribution(
+            a.where(F.col("event_type") == "view"),
+            b.where(F.col("event_type") == "click"),
+            horizon_minutes=360,
+        ),
+        output_mode="append",
+    )
+
+
+Q_STREAM_ATTRIBUTION_SQL = """
+SELECT v.event_id AS view_id, c.event_id AS click_id,
+       v.user_id AS user_id, c.value AS click_value
+FROM events v JOIN events c
+  ON v.user_id = c.user_id
+ AND v.event_type = 'view' AND c.event_type = 'click'
+ AND c.ts > v.ts AND c.ts <= v.ts + INTERVAL 360 MINUTE
+"""
+
+
 def q_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-static enrichment join run to completion with AvailableNow:
     the streaming events pick up a static per-user profile (count + max —
@@ -4936,6 +4970,7 @@ FROM agg
 QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     # -- (0) new in this round-3 session
     "er_bcubed": (q_er_bcubed, Q_ER_BCUBED_SQL),
+    "stream_attribution": (q_stream_attribution, Q_STREAM_ATTRIBUTION_SQL),
     "snm_blocking": (q_snm_blocking, Q_SNM_BLOCKING_SQL),
     "phonetic_blocking": (q_phonetic_blocking, Q_PHONETIC_BLOCKING_SQL),
     "meta_blocking": (q_meta_blocking, Q_META_BLOCKING_SQL),

@@ -297,6 +297,112 @@ def run_stream_to_df(
     return spark.table(name)
 
 
+def stream_stream_attribution(
+    views: DataFrame,
+    clicks: DataFrame,
+    horizon_minutes: int = 360,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Stream-stream inner join with an event-time range condition: every
+    (view, click) pair of the SAME user where the click lands within
+    ``horizon_minutes`` after the view — the canonical attribution join,
+    the one Structured Streaming surface the engine did not yet cover
+    (stream-static enrich and windowed aggs are stateless/keyed; this one
+    buffers BOTH sides).
+
+    Semantics/state: both sides are watermarked and the join condition
+    bounds click.ts to (view.ts, view.ts + horizon], so Spark derives a
+    state-eviction bound on each side — per-key state is O(events within
+    watermark + horizon), never the full history. With AvailableNow over a
+    single static file everything arrives in one microbatch and the inner
+    join emits exactly the batch join (the SQL oracle); on a real source
+    the same query runs unbounded. The join itself shuffles both streams
+    on user_id — the same equi-key hash exchange a batch join would use,
+    so the plan scales like any keyed join (skewed hot users would salt
+    exactly as the blocking self-join does).
+    """
+    v = views.select(
+        F.col("event_id").alias("view_id"),
+        F.col("user_id").alias("v_user"),
+        F.col("ts").cast("timestamp").alias("v_ts"),
+    )
+    c = clicks.select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").cast("timestamp").alias("c_ts"),
+        F.col("value").alias("click_value"),
+    )
+    if views.isStreaming:
+        v = v.withWatermark("v_ts", watermark)
+    if clicks.isStreaming:
+        c = c.withWatermark("c_ts", watermark)
+    cond = (
+        (F.col("v_user") == F.col("c_user"))
+        & (F.col("c_ts") > F.col("v_ts"))
+        & (F.col("c_ts") <= F.col("v_ts") + F.expr(f"INTERVAL {int(horizon_minutes)} MINUTES"))
+    )
+    return v.join(c, cond, "inner").select(
+        F.col("view_id"),
+        F.col("click_id"),
+        F.col("v_user").alias("user_id"),
+        "click_value",
+    )
+
+
+def run_two_stream_to_df(
+    spark: SparkSession,
+    parquet_path: str,
+    transform,
+    output_mode: str = "append",
+    state_partitions: int | None = 4,
+) -> DataFrame:
+    """Like :func:`run_stream_to_df` but hands ``transform`` TWO
+    independent file-source streams over the same parquet file (each its
+    own source with its own watermark), for stream-stream joins.
+
+    ``state_partitions`` pins ``spark.sql.shuffle.partitions`` for the
+    lifetime of the query START (streaming fixes its state-partition count
+    at start; the conf is restored immediately after). A stream-stream
+    join keeps FOUR state stores per partition, each committing checkpoint
+    files every batch — measured 41 s at 32 partitions vs 3 s at 4 for the
+    same 100k-event input — so state width must track expected state
+    VOLUME, not session core count. A production job sizes this once for
+    its throughput; it cannot be changed across restarts of the same
+    checkpoint."""
+    static = spark.read.parquet(parquet_path)
+    name = "s_" + uuid.uuid4().hex[:12]
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    with tempfile.TemporaryDirectory() as workdir:
+        src_dir = os.path.join(workdir, "in")
+        os.makedirs(src_dir)
+        os.symlink(os.path.abspath(parquet_path), os.path.join(src_dir, "part-0.parquet"))
+
+        def mk_stream():
+            return (
+                spark.readStream.schema(static.schema)
+                .option("maxFilesPerTrigger", "1")
+                .parquet(src_dir)
+            )
+
+        if state_partitions is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+        try:
+            q = (
+                transform(mk_stream(), mk_stream())
+                .writeStream.format("memory")
+                .queryName(name)
+                .outputMode(output_mode)
+                .option("checkpointLocation", os.path.join(workdir, "ckpt"))
+                .trigger(availableNow=True)
+                .start()
+            )
+        finally:
+            if state_partitions is not None:
+                spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        q.awaitTermination()
+    return spark.table(name)
+
+
 def stream_static_enrich(events: DataFrame, user_dim: DataFrame) -> DataFrame:
     """Stream-static enrichment join: each (possibly streaming) event picks
     up its user's precomputed profile row — the canonical "dimension table

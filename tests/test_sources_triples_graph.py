@@ -521,3 +521,44 @@ def test_blocking_quality_rr_pc(spark):
     assert (r.n_cands, r.total_pairs, r.n_gold, r.n_covered) == (4, 10, 3, 2)
     assert r.reduction_ratio == round(1.0 - 4 / 10.0, 6)
     assert r.pairs_completeness == round(2 / 3.0, 6)
+
+
+def test_stream_stream_attribution_parity(spark, tmp_path):
+    """Two watermarked streams joined on user within the horizon must equal
+    the batch range join — including a click just past the horizon (excluded)
+    and one exactly at it (included: bound is <=)."""
+    import datetime as dt
+
+    from entity_matchers_spark.streaming.events import (
+        run_two_stream_to_df,
+        stream_stream_attribution,
+    )
+    from pyspark.sql import functions as F
+
+    t0 = dt.datetime(2024, 1, 1)
+    m = lambda k: t0 + dt.timedelta(minutes=k)
+    rows = [
+        (1, m(0), 10, "view", 0.0, ""),
+        (2, m(5), 10, "click", 1.5, ""),   # in horizon
+        (3, m(10), 10, "click", 2.5, ""),  # exactly at horizon -> included
+        (4, m(11), 10, "click", 3.5, ""),  # past view-1 horizon, within view-6's
+        (5, m(5), 20, "click", 4.5, ""),   # other user -> excluded
+        (6, m(3), 10, "view", 0.0, ""),    # second view, pairs with 2, 3, 4
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    p = str(tmp_path / "ev.parquet")
+    ev.coalesce(1).write.parquet(p)
+    import os
+    part = next(os.path.join(p, f) for f in os.listdir(p) if f.endswith(".parquet"))
+    out = run_two_stream_to_df(
+        spark, part,
+        lambda a, b: stream_stream_attribution(
+            a.where(F.col("event_type") == "view"),
+            b.where(F.col("event_type") == "click"),
+            horizon_minutes=10,
+        ),
+    )
+    got = {(r.view_id, r.click_id) for r in out.collect()}
+    assert got == {(1, 2), (1, 3), (6, 2), (6, 3), (6, 4)}
