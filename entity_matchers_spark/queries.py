@@ -78,13 +78,12 @@ def _doc_grams7(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Materialized hashed 7-gram table (id, grams, sz) for the documents
     corpus — shared by the MinHash near-dup pair and resolve queries so the
     registry hashes the corpus once (same idea as the ER-chain prefix)."""
-    from entity_matchers_spark.functions.shingles import hashed_shingles
+    from entity_matchers_spark.functions.shingles import hashed_shingle_table
 
     def build() -> DataFrame:
-        return _docs(spark, sf_dir).select(
-            F.col("doc_id").alias("id"),
-            hashed_shingles(F.lower(F.substring(F.col("text"), 1, 10_000)), n=7).alias("grams"),
-        ).withColumn("sz", F.size("grams"))
+        return hashed_shingle_table(
+            _docs(spark, sf_dir), "doc_id", "text", n=7, text_cap=10_000
+        )
 
     return _er_cached(spark, sf_dir, "doc_grams7", build)
 
