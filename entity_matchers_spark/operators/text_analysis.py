@@ -644,3 +644,41 @@ def kneser_ney_counts(
         .where(F.col("c12") >= min_count)
         .select("w1", "w2", "c12", "c1", "n_follow", "n_prec", "pkn")
     )
+
+
+def corpus_percentiles(
+    docs: DataFrame,
+    group_col: str = "lang",
+    value_col: str = "n_chars",
+    ps: tuple[float, ...] = (0.25, 0.5, 0.75, 0.9, 0.99),
+) -> DataFrame:
+    """(group, p, value, n): EXACT per-group percentiles of ``value_col``
+    (linear interpolation, the quantile_cont contract — Spark's
+    ``percentile`` matches DuckDB bit-for-bit on BIGINT inputs) plus the
+    group row count — the distribution-drift monitoring table a curation
+    pipeline emits per snapshot next to its counts.
+
+    Scale shape: ``percentile`` is an exact sort-buffer aggregate — per
+    GROUP state is O(group size), which is fine for the monitoring grain
+    (languages, sources, snapshot dates: few groups, each reduced on one
+    task after map-side combine is unavailable). For percentiles over a
+    HIGH-CARDINALITY grain or where a single group is the whole corpus,
+    swap ``percentile`` for ``approx_percentile`` (t-digest, mergeable,
+    bounded memory) and give up oracle-exactness — the trade is documented
+    here rather than silently made.
+    """
+    p_arr = "array(" + ",".join(repr(p) for p in ps) + ")"
+    agg = docs.groupBy(F.col(group_col).alias("grp")).agg(
+        F.expr(f"percentile({value_col}, {p_arr})").alias("vals"),
+        F.count("*").alias("n"),
+    )
+    pos = F.array(*[F.lit(float(p)) for p in ps])
+    return (
+        agg.select("grp", "n", F.explode(F.arrays_zip(pos.alias("p"), F.col("vals").alias("value"))).alias("z"))
+        .select(
+            "grp",
+            F.col("z.p").alias("p"),
+            F.round(F.col("z.value"), 6).alias("value"),
+            "n",
+        )
+    )

@@ -4164,6 +4164,31 @@ FROM idx
 """
 
 
+def q_corpus_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-language n_chars percentile table (quantile_cont contract)
+    + group counts — the distribution-drift monitoring grain. Spark's exact
+    ``percentile`` matches DuckDB's ``quantile_cont`` bit-for-bit on BIGINT
+    input."""
+    from entity_matchers_spark.operators.text_analysis import corpus_percentiles
+
+    return corpus_percentiles(_docs(spark, sf_dir), group_col="lang", value_col="n_chars")
+
+
+Q_CORPUS_PERCENTILES_SQL = """
+WITH agg AS (
+  SELECT lang AS grp,
+         quantile_cont(n_chars, [0.25, 0.5, 0.75, 0.9, 0.99]) AS vals,
+         count(*)::BIGINT AS n
+  FROM documents GROUP BY lang
+)
+SELECT grp, p, round(value, 6) AS value, n
+FROM (
+  SELECT grp, n, unnest([0.25, 0.5, 0.75, 0.9, 0.99]::DOUBLE[]) AS p, unnest(vals) AS value
+  FROM agg
+)
+"""
+
+
 def q_corpus_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dataset-card rollup: corpus stats at (lang, source), (lang), and
     grand-total grains in one GROUP BY ROLLUP pass (map-side partial agg,
@@ -4970,6 +4995,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     # -- (0) new in this round-3 session
     "er_bcubed": (q_er_bcubed, Q_ER_BCUBED_SQL),
     "stream_attribution": (q_stream_attribution, Q_STREAM_ATTRIBUTION_SQL),
+    "corpus_percentiles": (q_corpus_percentiles, Q_CORPUS_PERCENTILES_SQL),
     "snm_blocking": (q_snm_blocking, Q_SNM_BLOCKING_SQL),
     "phonetic_blocking": (q_phonetic_blocking, Q_PHONETIC_BLOCKING_SQL),
     "meta_blocking": (q_meta_blocking, Q_META_BLOCKING_SQL),
