@@ -76,6 +76,8 @@ HEADLINE = [
     "fellegi_sunter",
     "monge_elkan",
     "golden_records",
+    "er_bcubed",
+    "corpus_percentiles",
 ]
 
 # Max allowed ``Exchange SinglePartition`` occurrences: pack_sequences owns
