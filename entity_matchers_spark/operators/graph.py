@@ -38,6 +38,8 @@ def pagerank(
     """(node, pr) after ``iterations`` synchronous rounds over distinct
     directed edges. Fixed iteration count (no convergence test) so an
     unrolled SQL oracle computes the identical result."""
+    from entity_matchers_spark.operators.iterutil import loop_width
+
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
     nodes = (
         e.select(F.col("src").alias("node"))
@@ -47,6 +49,12 @@ def pagerank(
     n_nodes = nodes.count()
     out_deg = e.groupBy("src").agg(F.count("*").alias("deg"))
     e_deg = e.join(out_deg, "src").localCheckpoint(eager=True)
+    # size loop shuffles to the GRAPH, not the session (see iterutil)
+    w = loop_width(edges.sparkSession, e_deg.count())
+    if w is not None:
+        e_deg = e_deg.coalesce(w)
+        nodes = nodes.coalesce(w)
+    nodes = nodes.localCheckpoint(eager=True)
 
     pr = nodes.withColumn("pr", F.lit(1.0 / n_nodes))
     base = (1.0 - damping) / n_nodes
@@ -257,7 +265,15 @@ def hits(
     groupBy-shuffle per half-round, scores checkpointed per round to cut
     lineage.
     """
-    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
+    from entity_matchers_spark.operators.iterutil import loop_width
+
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct().localCheckpoint(eager=True)
+    # size loop shuffles to the GRAPH, not the session (see iterutil); the
+    # edge checkpoint also stops each round from re-running the upstream
+    # distinct (previously recomputed once per materialized round)
+    w = loop_width(edges.sparkSession, e.count())
+    if w is not None:
+        e = e.coalesce(w)
     nodes = (
         e.select(F.col("src").alias("node"))
         .unionAll(e.select(F.col("dst").alias("node")))
