@@ -555,6 +555,11 @@ def meta_blocking_prune(
         )
     )
     if scheme == "wep":
+        # the mean comparison reads the comparison graph once for the
+        # aggregate and once for the filter — materialize it instead of
+        # running the capped self-join + groupBy twice (at scale this is
+        # the candidate-pair table: recomputing it is the dominant cost)
+        edges = edges.localCheckpoint()
         tot = edges.agg(
             F.sum("cbs").alias("_s"), F.count("*").alias("_e")
         )
