@@ -225,3 +225,86 @@ def chunk_tokens(
             " ",
         ).alias("chunk_text"),
     )
+
+
+def zorder_key(a, b, bits: int = 16):
+    """Morton (Z-order) interleaving of the low ``bits`` of two
+    non-negative integer columns: bit i of ``a`` lands at position 2i,
+    bit i of ``b`` at 2i+1. The multi-dimensional clustering key behind
+    Iceberg/Delta Z-ORDER layout: range-partitioning by this key gives
+    files that are simultaneously tight in BOTH dimensions, so min/max
+    file statistics prune scans filtered on either column.
+
+    Built as an unrolled chain of shift/mask/or expressions — pure
+    integer arithmetic, whole-stage codegen, and mechanically replayable
+    in the SQL oracle (``zorder_key_sql`` emits the same expression).
+    Inputs are masked to ``bits`` (callers quantize coarser dimensions
+    first); 2·bits ≤ 62 keeps the key in a BIGINT.
+    """
+    a = F.col(a) if isinstance(a, str) else a
+    b = F.col(b) if isinstance(b, str) else b
+    mask = (1 << bits) - 1
+    a = a.cast("long").bitwiseAND(F.lit(mask))
+    b = b.cast("long").bitwiseAND(F.lit(mask))
+    z = F.lit(0).cast("long")
+    for i in range(bits):
+        z = z.bitwiseOR(
+            F.shiftleft(a.bitwiseAND(F.lit(1 << i)), i)
+        ).bitwiseOR(
+            F.shiftleft(b.bitwiseAND(F.lit(1 << i)), i + 1)
+        )
+    return z
+
+
+def zorder_key_sql(a: str, b: str, bits: int = 16) -> str:
+    """The SQL replay of :func:`zorder_key` (same unrolled expression)."""
+    mask = (1 << bits) - 1
+    am = f"(({a})::BIGINT & {mask})"
+    bm = f"(({b})::BIGINT & {mask})"
+    terms = []
+    for i in range(bits):
+        terms.append(f"(({am} & {1 << i}) << {i})")
+        terms.append(f"(({bm} & {1 << i}) << {i + 1})")
+    return "(" + " | ".join(terms) + ")"
+
+
+def zorder_layout(
+    df: DataFrame,
+    dim_a: str,
+    dim_b: str,
+    id_col: str,
+    n_files: int = 64,
+    bits: int = 16,
+) -> DataFrame:
+    """(…, zkey, file_id): Z-order layout assignment — every row keyed by
+    the Morton interleave of its two dimensions and bucketed into
+    ``n_files`` equal-population output files by GLOBAL zkey rank (the
+    distributed prefix-sum rank shape used across this module — md5-bucket
+    two-level cumulative sums, no single-task window; here the bucket IS
+    the zkey's top bits, which are already uniform enough for layout: file
+    boundaries land on zkey order statistics computed exactly).
+
+    The write itself (`df.repartitionByRange(n_files, "zkey")` +
+    per-file min/max stats) is the caller's sink step; this operator
+    returns the assignment so the decision is oracle-verifiable.
+    """
+    keyed = df.withColumn("zkey", zorder_key(dim_a, dim_b, bits))
+    # exact equal-population file split: global rank via two-level prefix
+    # sum over the (zkey, tiebreak) order — same discipline as
+    # global_shuffle, reusing its bucket decomposition on the zkey's hex
+    n = keyed.count()
+    w_bucket = Window.partitionBy("_bk").orderBy("zkey", id_col)
+    bucketed = keyed.withColumn(
+        "_bk", F.shiftrightunsigned(F.col("zkey"), max(0, 2 * bits - 12))
+    )
+    per_bucket = bucketed.groupBy("_bk").agg(F.count("*").alias("_bn"))
+    w_tot = Window.orderBy("_bk").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = per_bucket.withColumn("_off", F.coalesce(F.sum("_bn").over(w_tot), F.lit(0))).select("_bk", "_off")
+    ranked = (
+        bucketed.withColumn("_rn", F.row_number().over(w_bucket) - 1)
+        .join(F.broadcast(offsets), "_bk")
+        .withColumn("_rank", F.col("_rn") + F.col("_off"))
+    )
+    return ranked.withColumn(
+        "file_id", F.least(F.floor(F.col("_rank") * n_files / F.lit(n)).cast("int"), F.lit(n_files - 1))
+    ).drop("_bk", "_rn", "_off", "_rank")

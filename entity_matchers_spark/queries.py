@@ -4109,6 +4109,48 @@ FROM s
 """
 
 
+def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) layout of events over (user_id, epoch-minute):
+    every row gets its interleaved-bit clustering key and an
+    equal-population file assignment by exact global zkey rank — the
+    Iceberg/Delta Z-ORDER primitive, decomposed as a two-level prefix sum
+    (no single-task window over the data; the only 1-partition stage is
+    the ≤4096-row bucket-offsets table)."""
+    from entity_matchers_spark.operators.packing import zorder_layout
+
+    ev = _read(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        (F.unix_timestamp("ts") / 60).cast("long").alias("tmin"),
+    )
+    return zorder_layout(ev, "user_id", "tmin", id_col="event_id", n_files=16).select(
+        "event_id", "user_id", "tmin", "zkey", "file_id"
+    )
+
+
+def _build_zorder_sql() -> str:
+    from entity_matchers_spark.operators.packing import zorder_key_sql
+
+    z = zorder_key_sql("user_id", "tmin", bits=16)
+    return f"""
+WITH base AS (
+  SELECT event_id, user_id, (floor(epoch(ts))::BIGINT // 60) AS tmin
+  FROM events
+),
+keyed AS (
+  SELECT event_id, user_id, tmin, {z} AS zkey FROM base
+),
+ranked AS (
+  SELECT *, row_number() OVER (ORDER BY zkey, event_id) - 1 AS rnk,
+         count(*) OVER () AS n
+  FROM keyed
+)
+SELECT event_id, user_id, tmin, zkey,
+       least(floor((rnk * 16)::DOUBLE / n)::INT, 15) AS file_id
+FROM ranked
+"""
+
+
 def q_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic global shuffle into 8 training shards: shard =
     md5-hash mod 8 (map-side), pos = rank within shard under the same hash
@@ -4996,6 +5038,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "er_bcubed": (q_er_bcubed, Q_ER_BCUBED_SQL),
     "stream_attribution": (q_stream_attribution, Q_STREAM_ATTRIBUTION_SQL),
     "corpus_percentiles": (q_corpus_percentiles, Q_CORPUS_PERCENTILES_SQL),
+    "zorder_layout": (q_zorder_layout, _build_zorder_sql()),
     "snm_blocking": (q_snm_blocking, Q_SNM_BLOCKING_SQL),
     "phonetic_blocking": (q_phonetic_blocking, Q_PHONETIC_BLOCKING_SQL),
     "meta_blocking": (q_meta_blocking, Q_META_BLOCKING_SQL),

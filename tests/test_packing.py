@@ -169,3 +169,36 @@ def test_corpus_rollup_grains_are_consistent(spark):
                                    (3, "six seven eight nine", 0, 0),
                                    (4, "dix", 0, 0),
                                    (5, "ten eleven", 0, 0)])
+
+
+def test_zorder_key_matches_reference_interleave(spark):
+    from entity_matchers_spark.operators.packing import zorder_key
+
+    def ref(a, b, bits=16):
+        z = 0
+        for i in range(bits):
+            z |= ((a >> i) & 1) << (2 * i)
+            z |= ((b >> i) & 1) << (2 * i + 1)
+        return z
+
+    rows = [(0, 0), (1, 0), (0, 1), (3, 5), (65535, 65535), (70000, 2)]
+    df = spark.createDataFrame(rows, "a long, b long")
+    got = {(r.a, r.b): r.z for r in df.withColumn("z", zorder_key("a", "b")).collect()}
+    for a, b in rows:
+        assert got[(a, b)] == ref(a & 0xFFFF, b & 0xFFFF), (a, b)
+
+
+def test_zorder_layout_files_are_zkey_ranges(spark):
+    """file_id must be monotone in (zkey, id) and files equal-population."""
+    import itertools
+
+    from entity_matchers_spark.operators.packing import zorder_layout
+
+    rows = [(i, (i * 37) % 100, (i * 91) % 100) for i in range(400)]
+    df = spark.createDataFrame(rows, "id long, x long, y long")
+    out = zorder_layout(df, "x", "y", id_col="id", n_files=8).collect()
+    srt = sorted(out, key=lambda r: (r.zkey, r.id))
+    fids = [r.file_id for r in srt]
+    assert fids == sorted(fids)            # monotone -> files are zkey ranges
+    sizes = [len(list(g)) for _, g in itertools.groupby(fids)]
+    assert sizes == [50] * 8               # exact equal population
