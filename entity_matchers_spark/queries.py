@@ -5064,7 +5064,6 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "pack_sequences": (q_pack_sequences, Q_PACK_SEQUENCES_SQL),
     "global_shuffle": (q_global_shuffle, Q_GLOBAL_SHUFFLE_SQL),
     "chunk_tokens": (q_chunk_tokens, Q_CHUNK_TOKENS_SQL),
-    "corpus_rollup": (q_corpus_rollup, Q_CORPUS_ROLLUP_SQL),
     "dsir_select": (q_dsir_select, Q_DSIR_SELECT_SQL),
     "passage_removal": (q_passage_removal, Q_PASSAGE_REMOVAL_SQL),
     "url_filter": (q_url_filter, Q_URL_FILTER_SQL),
@@ -5079,6 +5078,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "pricing_summary": (q_pricing_summary, Q_PRICING_SQL),
     "top_revenue_orders": (q_top_revenue_orders, Q_TOP_REVENUE_SQL),
     "events_hourly": (q_events_hourly, Q_EVENTS_HOURLY_SQL),
+    "stream_dedup": (q_stream_dedup, Q_STREAM_DEDUP_SQL),
     # -- (3) new this round (web-corpus operators)
     "url_canonical": (q_url_canonical, Q_URL_CANONICAL_SQL),
     "pii_scrub": (q_pii_scrub, Q_PII_SCRUB_SQL),
@@ -5107,6 +5107,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "er_pairs_salted": (q_er_pairs_salted, Q_ER_PAIRS_SALTED_SQL),
     "er_truncated_candidates": (q_er_truncated_candidates, Q_ER_TRUNCATED_SQL),
     "er_csls_mutual_best": (q_er_csls_mutual_best, Q_ER_CSLS_MUTUAL_SQL),
+    "corpus_rollup": (q_corpus_rollup, Q_CORPUS_ROLLUP_SQL),
     "neardup_embedding": (q_neardup_embedding, Q_NEARDUP_EMBEDDING_SQL),
     "ann_cosine_topk": (q_ann_cosine_topk, Q_ANN_COSINE_SQL),
     "ann_lsh_topk": (q_ann_lsh_topk, Q_ANN_LSH_SQL),
@@ -5114,7 +5115,6 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "ann_ivf_topk": (q_ann_ivf_topk, Q_ANN_IVF_SQL),
     "neardup_jaccard": (q_neardup_jaccard, Q_NEARDUP_JACCARD_SQL),
     "neardup_minhash": (q_neardup_minhash, Q_NEARDUP_MINHASH_SQL),
-    "stream_dedup": (q_stream_dedup, Q_STREAM_DEDUP_SQL),
     # -- (5) core ER chain, dedup/text/ANN, streaming
     "er_block_keys": (q_er_block_keys, Q_ER_BLOCK_KEYS_SQL),
     "er_candidate_pairs": (q_er_candidate_pairs, Q_ER_CANDIDATE_PAIRS_SQL),
