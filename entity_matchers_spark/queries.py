@@ -1122,6 +1122,111 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return contamination_flags(corpus, bench, n=DECON_NGRAM)
 
 
+BLOOM_M_BITS = 1 << 18
+BLOOM_K = 3
+
+
+def q_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination through a BLOOM FILTER instead of the exact
+    broadcast join: the benchmark gram set is collapsed into a fixed
+    2^18-bit bitmap (one map-side pass + OR-merge), broadcast, and probed
+    by a vectorized pandas UDF — the fixed-memory shape for filtering a
+    new crawl against a reference corpus too large to broadcast exactly.
+    Emits per-doc probable-hit and exact-hit counts side by side, so the
+    (deterministic) false-positive surplus is observable. The oracle
+    replays the SAME pinned position arithmetic as k semi-joins — the
+    bitmap path and the join path are the same function by construction
+    (asserted in pytest too)."""
+    from entity_matchers_spark.operators.sketches import bloom_build, bloom_probe_flags
+    from entity_matchers_spark.functions.shingles import token_shingles
+
+    def hashed_grams(c):
+        return F.array_distinct(
+            F.transform(
+                token_shingles(c, n=DECON_NGRAM),
+                lambda g: F.conv(F.substring(F.md5(g), 1, 8), 16, 10).cast("long"),
+            )
+        )
+
+    docs = _docs(spark, sf_dir)
+    bench_grams = (
+        docs.where((F.col("doc_id") % DECON_BENCH_MOD) == 0)
+        .select(F.explode(hashed_grams(F.col("text"))).alias("g"))
+        .distinct()
+    )
+    corpus = docs.where((F.col("doc_id") % DECON_BENCH_MOD) != 0)
+    doc_grams = corpus.select(
+        F.col("doc_id").alias("id"), F.explode(hashed_grams(F.col("text"))).alias("g")
+    )
+    bitmap = bloom_build(bench_grams, m_bits=BLOOM_M_BITS, k=BLOOM_K)
+    probed = bloom_probe_flags(doc_grams, bitmap, m_bits=BLOOM_M_BITS, k=BLOOM_K)
+    exact = doc_grams.join(F.broadcast(bench_grams.withColumn("_x", F.lit(1))), "g", "left")
+    agg_p = probed.groupBy("id").agg(F.sum("hit").alias("n_probable"))
+    agg_e = exact.groupBy("id").agg(
+        F.sum(F.coalesce("_x", F.lit(0))).alias("n_exact")
+    )
+    return (
+        corpus.select(F.col("doc_id").alias("id"))
+        .join(agg_p, "id", "left")
+        .join(agg_e, "id", "left")
+        .select(
+            "id",
+            F.coalesce("n_probable", F.lit(0)).cast("long").alias("n_probable"),
+            F.coalesce("n_exact", F.lit(0)).cast("long").alias("n_exact"),
+            (F.coalesce("n_probable", F.lit(0)) > 0).cast("int").alias("contaminated"),
+        )
+    )
+
+
+def _build_bloom_decon_sql() -> str:
+    from entity_matchers_spark.operators.sketches import BLOOM_MOD, _cubic, bloom_params
+
+    (a1, b1), (a2, b2) = bloom_params()
+    m = BLOOM_M_BITS
+    h1 = f"((((g & 4294967295) * {a1} + {b1}) % {BLOOM_MOD}) % {m})"
+    h2 = f"(((((g & 4294967295) * {a2} + {b2}) % {BLOOM_MOD}) % {m - 1}) | 1)"
+    pos = lambda j: f"(({h1} + {j} * {h2} + {_cubic(j)}) % {m})"
+    # ONE occupied-bit set (all K hashes share the bitmap)
+    union = " UNION ".join(f"SELECT DISTINCT {pos(j)} AS p FROM bench_grams" for j in range(BLOOM_K))
+    pos_sets = f"occ AS MATERIALIZED ({union})"
+    joins = " ".join(f"LEFT JOIN occ o{j} ON {pos(j)} = o{j}.p" for j in range(BLOOM_K))
+    allhit = " AND ".join(f"o{j}.p IS NOT NULL" for j in range(BLOOM_K))
+    return f"""
+WITH toks AS MATERIALIZED (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\\s+'), x -> x != '') AS ts
+  FROM documents
+),
+grams AS MATERIALIZED (
+  SELECT doc_id,
+         list_distinct([('0x'||substr(md5(array_to_string(ts[i:i+{DECON_NGRAM - 1}], ' ')),1,8))::UBIGINT::BIGINT
+                        for i in range(1, len(ts)-{DECON_NGRAM - 2})]) AS gs
+  FROM toks
+),
+bench_grams AS MATERIALIZED (
+  SELECT DISTINCT unnest(gs) AS g FROM grams WHERE doc_id % {DECON_BENCH_MOD} = 0
+),
+doc_grams AS MATERIALIZED (
+  SELECT doc_id AS id, unnest(gs) AS g FROM grams WHERE doc_id % {DECON_BENCH_MOD} != 0
+),
+{pos_sets},
+probed AS (
+  SELECT id,
+         sum(CASE WHEN {allhit} THEN 1 ELSE 0 END)::BIGINT AS n_probable,
+         sum(CASE WHEN bg.g IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_exact
+  FROM doc_grams {joins}
+  LEFT JOIN (SELECT g FROM bench_grams) bg ON doc_grams.g = bg.g
+  GROUP BY id
+)
+SELECT d.doc_id AS id,
+       coalesce(p.n_probable, 0) AS n_probable,
+       coalesce(p.n_exact, 0) AS n_exact,
+       (coalesce(p.n_probable, 0) > 0)::INT AS contaminated
+FROM documents d LEFT JOIN probed p ON d.doc_id = p.id
+WHERE d.doc_id % {DECON_BENCH_MOD} != 0
+"""
+
+
 Q_DECONTAMINATE_SQL = f"""
 WITH toks AS MATERIALIZED (
   SELECT doc_id,
@@ -5039,6 +5144,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "stream_attribution": (q_stream_attribution, Q_STREAM_ATTRIBUTION_SQL),
     "corpus_percentiles": (q_corpus_percentiles, Q_CORPUS_PERCENTILES_SQL),
     "zorder_layout": (q_zorder_layout, _build_zorder_sql()),
+    "bloom_decontaminate": (q_bloom_decontaminate, _build_bloom_decon_sql()),
     "snm_blocking": (q_snm_blocking, Q_SNM_BLOCKING_SQL),
     "phonetic_blocking": (q_phonetic_blocking, Q_PHONETIC_BLOCKING_SQL),
     "meta_blocking": (q_meta_blocking, Q_META_BLOCKING_SQL),
