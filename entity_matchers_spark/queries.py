@@ -5160,9 +5160,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "events_asof_enrich": (q_events_asof_enrich, Q_EVENTS_ASOF_SQL),
     "interval_overlap": (q_interval_overlap, Q_INTERVAL_OVERLAP_SQL),
     "gopher_filter": (q_gopher_filter, Q_GOPHER_FILTER_SQL),
-    "winnowing": (q_winnowing, Q_WINNOWING_SQL),
     "temperature_mix": (q_temperature_mix, Q_TEMPERATURE_MIX_SQL),
-    "crawl_delta": (q_crawl_delta, Q_CRAWL_DELTA_SQL),
     "ccnet_buckets": (q_ccnet_buckets, Q_CCNET_BUCKETS_SQL),
     "bm25_topk": (q_bm25_topk, Q_BM25_TOPK_SQL),
     "bpe_merges": (q_bpe_merges, Q_BPE_MERGES_SQL),
@@ -5191,13 +5189,15 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "lm_score": (q_lm_score, Q_LM_SCORE_SQL),
     # -- (3b) new in round 3
     "embedding_roundtrip": (q_embedding_roundtrip, Q_EMBEDDING_ROUNDTRIP_SQL),
+    "er_stable_marriage": (q_er_stable_marriage, Q_ER_STABLE_MARRIAGE_SQL),
+    "er_hard_negatives": (q_er_hard_negatives, Q_ER_HARD_NEGATIVES_SQL),
     "er_block_keys_2gram": (q_er_block_keys_2gram, Q_ER_BLOCK_KEYS_2GRAM_SQL),
     "segment_dedup": (q_segment_dedup, Q_SEGMENT_DEDUP_SQL),
     "neardup_resolve": (q_neardup_resolve, Q_NEARDUP_RESOLVE_SQL),
     "decontaminate": (q_decontaminate, Q_DECONTAMINATE_SQL),
-    "er_stable_marriage": (q_er_stable_marriage, Q_ER_STABLE_MARRIAGE_SQL),
-    "er_hard_negatives": (q_er_hard_negatives, Q_ER_HARD_NEGATIVES_SQL),
     "er_mwgm_exact": (q_er_mwgm_exact, None),
+    "winnowing": (q_winnowing, Q_WINNOWING_SQL),
+    "crawl_delta": (q_crawl_delta, Q_CRAWL_DELTA_SQL),
     "stratified_sample": (q_stratified_sample, Q_STRATIFIED_SAMPLE_SQL),
     "epoch_upsample": (q_epoch_upsample, Q_EPOCH_UPSAMPLE_SQL),
     "domain_cap": (q_domain_cap, Q_DOMAIN_CAP_SQL),
