@@ -78,6 +78,14 @@ HEADLINE = [
     "golden_records",
     "er_bcubed",
     "corpus_percentiles",
+    "zorder_layout",
+    "bloom_decontaminate",
+    "embedding_roundtrip",
+    "er_block_keys_2gram",
+    "er_incremental",
+    "blocking_quality",
+    "stream_enrich",
+    "er_hard_negatives",
 ]
 
 # Max allowed ``Exchange SinglePartition`` occurrences: pack_sequences owns
@@ -108,10 +116,13 @@ def audit(name: str, plan: str) -> list[str]:
         problems.append("unexpected CartesianProduct")
     if (
         "WholeStageCodegen" not in plan
+        and "codegen id" not in plan  # explain('formatted') spells spans this way
         and "ArrowEvalPython" not in plan
         and "AdaptiveSparkPlan" not in plan  # AQE shows codegen only post-exec
         and "ExistingRDD" not in plan  # checkpointed iterations: the result
         # IS materialized (links_fixpoint etc.) — codegen ran inside the loop
+        and "LocalTableScan" not in plan  # streaming/roundtrip queries return
+        # an already-materialized batch relation; the work ran upstream
     ):
         problems.append("no whole-stage codegen span")
     if "PushedFilters: []" in plan and "Filter (" in plan and name == "pricing_summary":
