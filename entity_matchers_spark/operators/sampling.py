@@ -289,3 +289,59 @@ def temperature_mix(
     return out.select(
         "id", "source", (base_copies + extra).cast("long").alias("copies")
     )
+
+
+# --- A-ES weighted sampling without replacement ---------------------------------
+
+
+def weighted_sample(
+    df: DataFrame,
+    k: int,
+    weight_col: str,
+    strata_cols: tuple[str, ...] = (),
+    id_col: str = "doc_id",
+    salt: str = "aes:",
+    quant: int = 10**9,
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement: keep ``k`` rows (per stratum)
+    with inclusion probability proportional to ``weight_col``, one pass,
+    no driver state — Efraimidis & Spirakis (2006) A-ES: each row draws
+    ``u = U(0,1)`` and the k LARGEST keys ``u^(1/w)`` are the sample.
+
+    This is the sampler a training-mix pipeline wants when
+    ``temperature_mix`` has produced per-document weights and the shard
+    budget is a fixed COUNT (not a rate): ``stratified_sample`` keeps a
+    rate, ``domain_cap`` keeps a uniform k — A-ES keeps a weighted k,
+    exactly, in one distributed pass (the classic single-pass distributed
+    weighted-reservoir construction).
+
+    Determinism & cross-engine parity: ``u`` is the md5-uniform (salted id,
+    offset by +0.5/2^32 so u > 0 and ln(u) is finite), and rows are ranked
+    by ``key_q = round(quant * ln(u)/w)`` — monotone in ``u^(1/w)`` since
+    ``ln`` is increasing and ``ln(u) < 0``. The quantized-integer key (same
+    device as ``bcubed``/``monge_elkan``) absorbs last-ulp libm differences
+    between engines; ties break on id ascending. Rows with ``w <= 0`` are
+    excluded (zero weight = zero inclusion mass, as in the paper).
+
+    Scale shape: one map-side key expression + one shuffle on the strata
+    key + a per-stratum top-k window (WindowGroupLimit pushes the k-cut
+    map-side in Spark ≥ 3.5, so the shuffle carries ~k rows per partition
+    per stratum, not the stratum). With ``strata_cols=()`` every row
+    competes in one global sample; the plan is still the partial-top-k
+    shape, not a single-partition sort.
+    """
+    from pyspark.sql import Window
+
+    c_id = F.col(id_col)
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit(salt), c_id.cast("string"))), 1, 8), 16, 10
+    ).cast("double")
+    u = (h + F.lit(0.5)) / F.lit(_U32)
+    key_q = F.round(F.log(u) / F.col(weight_col).cast("double") * F.lit(float(quant))).cast("long")
+    keyed = df.where(F.col(weight_col) > 0).withColumn("key_q", key_q)
+    parts = [F.col(c) for c in strata_cols] if strata_cols else [F.lit(0)]
+    w = Window.partitionBy(*parts).orderBy(F.col("key_q").desc(), c_id.asc())
+    return (
+        keyed.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+    )

@@ -233,6 +233,23 @@ def _er_spark_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _er_cached(spark, sf_dir, "scores", lambda: _er_spark_scores_build(spark, sf_dir))
 
 
+def _er_spark_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cached (doc_id, cluster_id) transitive clusters of the mutual-best
+    thresholded edges. Four registry queries (er_clusters, er_cluster_eval,
+    golden_records, er_bcubed) consume the IDENTICAL clustering; running the
+    iterative hash-min CC once and checkpointing mirrors how a production
+    pipeline materializes the cluster table a single time for every
+    downstream consumer."""
+    def build() -> DataFrame:
+        scored = _er_spark_scores(spark, sf_dir)
+        edges = matching.mutual_best(scored, min_score=ER_EDGE_THRESHOLD).select("id_a", "id_b")
+        docs = _docs(spark, sf_dir)
+        return clustering.clusters_with_singletons(docs, edges, id_col="doc_id").select(
+            F.col("id").alias("doc_id"), "cluster_id"
+        )
+    return _er_cached(spark, sf_dir, "clusters", build)
+
+
 def _er_spark_scores_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     from entity_matchers_spark.functions.similarity import levenshtein_ratio
 
@@ -552,12 +569,7 @@ JOIN best_b USING (id_a, id_b)
 def q_er_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Transitive clustering: hash-min connected components over thresholded
     mutual-best edges; unmatched docs are singletons."""
-    scored = _er_spark_scores(spark, sf_dir)
-    edges = matching.mutual_best(scored, min_score=ER_EDGE_THRESHOLD).select("id_a", "id_b")
-    docs = _docs(spark, sf_dir)
-    return clustering.clusters_with_singletons(docs, edges, id_col="doc_id").select(
-        F.col("id").alias("doc_id"), "cluster_id"
-    )
+    return _er_spark_clusters(spark, sf_dir)
 
 
 Q_ER_CLUSTERS_SQL = (
@@ -603,11 +615,7 @@ def q_er_cluster_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     from entity_matchers_spark.operators.evaluation import pairwise_f1_from_clusters
 
     scored = _er_spark_scores(spark, sf_dir)
-    edges = matching.mutual_best(scored, min_score=ER_EDGE_THRESHOLD).select("id_a", "id_b")
-    docs = _docs(spark, sf_dir)
-    clusters = clustering.clusters_with_singletons(docs, edges, id_col="doc_id").select(
-        F.col("id").alias("doc_id"), "cluster_id"
-    )
+    clusters = _er_spark_clusters(spark, sf_dir)
     truth = scored.where(F.col("jac3") >= 0.55).select("id_a", "id_b")
     return pairwise_f1_from_clusters(clusters, truth, id_col="doc_id")
 
@@ -919,6 +927,38 @@ SELECT doc_id, lang, source FROM (
          ) AS rk
   FROM documents
 ) WHERE rk <= {DOMAIN_CAP_K}
+"""
+
+
+WEIGHTED_SAMPLE_K = 25
+
+
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A-ES weighted sampling without replacement (Efraimidis & Spirakis
+    2006): per language, keep 25 docs with inclusion probability ∝ n_chars
+    — the fixed-COUNT weighted sampler a training mix uses once
+    temperature_mix has set per-doc weights. Key = quantized ln(u)/w
+    (monotone in u^(1/w)); md5-uniform u, so the oracle replays the exact
+    sample."""
+    from entity_matchers_spark.operators.sampling import weighted_sample
+
+    return weighted_sample(
+        _docs(spark, sf_dir), WEIGHTED_SAMPLE_K, "n_chars", strata_cols=("lang",)
+    ).select("doc_id", "lang", F.col("n_chars").cast("long").alias("w"), "key_q", "rn")
+
+
+Q_WEIGHTED_SAMPLE_SQL = f"""
+SELECT doc_id, lang, w, key_q, rn FROM (
+  SELECT doc_id, lang, w, key_q,
+         row_number() OVER (PARTITION BY lang ORDER BY key_q DESC, doc_id ASC) AS rn
+  FROM (
+    SELECT doc_id, lang, n_chars::BIGINT AS w,
+           round(ln((('0x'||substr(md5('aes:'||CAST(doc_id AS VARCHAR)),1,8))::UBIGINT::DOUBLE + 0.5)
+                    / 4294967296.0)
+                 / n_chars::DOUBLE * 1e9)::BIGINT AS key_q
+    FROM documents WHERE n_chars > 0
+  )
+) WHERE rn <= {WEIGHTED_SAMPLE_K}
 """
 
 
@@ -4970,12 +5010,8 @@ def q_golden_records(spark: SparkSession, sf_dir: str) -> DataFrame:
     matching chain feeds."""
     from entity_matchers_spark.operators.clustering import golden_records
 
-    scored = _er_spark_scores(spark, sf_dir)
-    edges = matching.mutual_best(scored, min_score=ER_EDGE_THRESHOLD).select("id_a", "id_b")
     docs = _docs(spark, sf_dir)
-    clusters = clustering.clusters_with_singletons(docs, edges, id_col="doc_id").select(
-        F.col("id").alias("doc_id"), "cluster_id"
-    )
+    clusters = _er_spark_clusters(spark, sf_dir)
     return golden_records(clusters, docs, id_col="doc_id",
                           attr_cols=("source", "lang"), size_col="n_chars")
 
@@ -5047,9 +5083,8 @@ def q_er_bcubed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     scored = _er_spark_scores(spark, sf_dir)
     docs = _docs(spark, sf_dir)
-    edges = matching.mutual_best(scored, min_score=ER_EDGE_THRESHOLD).select("id_a", "id_b")
-    pred = clustering.clusters_with_singletons(docs, edges, id_col="doc_id").select(
-        F.col("id").alias("id"), "cluster_id"
+    pred = _er_spark_clusters(spark, sf_dir).select(
+        F.col("doc_id").alias("id"), "cluster_id"
     )
     truth_edges = scored.where(F.col("jac3") >= 0.55).select("id_a", "id_b")
     truth = clustering.clusters_with_singletons(docs, truth_edges, id_col="doc_id").select(
@@ -5140,6 +5175,7 @@ FROM agg
 
 QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     # -- (0) new in this round-3 session
+    "weighted_sample": (q_weighted_sample, Q_WEIGHTED_SAMPLE_SQL),
     "er_bcubed": (q_er_bcubed, Q_ER_BCUBED_SQL),
     "stream_attribution": (q_stream_attribution, Q_STREAM_ATTRIBUTION_SQL),
     "corpus_percentiles": (q_corpus_percentiles, Q_CORPUS_PERCENTILES_SQL),
