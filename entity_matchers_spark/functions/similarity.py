@@ -275,9 +275,28 @@ def _jaccard_hashed_batch(sa: pd.Series, sb: pd.Series) -> pd.Series:
     concatenated a+b keys, count adjacent duplicates per row — one C-speed
     sort per batch, zero per-row Python in the element math.
     """
+    inter, la, lb, null_mask = _inter_counts_batch(sa, sb)
     n = len(sa)
     if n == 0:
         return pd.Series([], dtype=np.float64)
+    union = la + lb - inter
+    with np.errstate(divide="ignore", invalid="ignore"):
+        jac = inter / union.astype(np.float64)
+    out = np.where(union > 0, jac, 0.0)
+    if null_mask.any():
+        out = np.where(null_mask, np.nan, out)
+    return pd.Series(out)
+
+
+def _inter_counts_batch(
+    sa: pd.Series, sb: pd.Series
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """(inter, |a|, |b|, null_mask) per row — the shared pack-sort-bincount
+    intersection kernel behind the Jaccard and containment UDFs."""
+    n = len(sa)
+    if n == 0:
+        z = np.array([], dtype=np.int64)
+        return z, z, z, np.array([], dtype=bool)
     a_arrays = sa.to_numpy()
     b_arrays = sb.to_numpy()
     # Null-safe: a null text column yields a None array element; treat it as
@@ -300,15 +319,26 @@ def _jaccard_hashed_batch(sa: pd.Series, sb: pd.Series) -> pd.Series:
     dup = both[1:] == both[:-1]
     shared_rows = (both[1:][dup] >> np.uint64(32)).astype(np.int64)
     inter = np.bincount(shared_rows, minlength=n)
-    union = la + lb - inter
-    with np.errstate(divide="ignore", invalid="ignore"):
-        jac = inter / union.astype(np.float64)
-    out = np.where(union > 0, jac, 0.0)
-    if null_mask.any():
-        out = np.where(null_mask, np.nan, out)
-    return pd.Series(out)
+    return inter, la, lb, null_mask
 
 
 @pandas_udf(DoubleType())
 def jaccard_hashed_udf(a: pd.Series, b: pd.Series) -> pd.Series:
     return _jaccard_hashed_batch(a, b)
+
+
+@pandas_udf(DoubleType())
+def containment_hashed_udf(a: pd.Series, b: pd.Series) -> pd.Series:
+    """Broder containment C(a→b) = |a ∩ b| / |a| over distinct-int-hash
+    arrays — the asymmetric near-dup measure (a quote or syndicated article
+    is CONTAINED in its host page even when Jaccard is tiny). Same
+    pack-sort-bincount kernel as the Jaccard UDF; |a| = 0 → 0.0."""
+    inter, la, _lb, null_mask = _inter_counts_batch(a, b)
+    if len(a) == 0:
+        return pd.Series([], dtype=np.float64)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        c = inter / la.astype(np.float64)
+    out = np.where(la > 0, c, 0.0)
+    if null_mask.any():
+        out = np.where(null_mask, np.nan, out)
+    return pd.Series(out)

@@ -582,3 +582,76 @@ def neardup_resolve(
         "cluster_id",
         (F.col("id") == F.col("cluster_id")).cast("int").alias("keep"),
     )
+
+
+def containment_neardup_pairs(
+    df: DataFrame | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 7,
+    threshold: float = 0.8,
+    grams_arr: DataFrame | None = None,
+) -> DataFrame:
+    """EXACT ordered near-containment pairs: (id_a, id_b, containment) with
+    C(a→b) = |grams(a) ∩ grams(b)| / |grams(a)| ≥ threshold, a ≠ b.
+
+    The ASYMMETRIC dedup measure (Broder 1997's containment, beside
+    resemblance): a syndicated article, quoted passage, or truncated
+    mirror is CONTAINED in its host page even when Jaccard is far below
+    any near-dup threshold (small |A| vs huge |B| caps J at |A|/|B|).
+    Jaccard-LSH families structurally CANNOT find these pairs — banding
+    recalls high-resemblance pairs only — so a crawl pipeline needs this
+    as its own operator, not a Jaccard parameter tweak.
+
+    Exactness via the asymmetric prefix filter (SSJoin/PPJoin family):
+    C(a→b) ≥ t forces |A ∩ B| ≥ ⌈t|A|⌉, so among A's ``|A| − ⌈t|A|⌉ + 1``
+    globally-RAREST grams at least one must be in B — A-prefix joined
+    against B's FULL gram postings finds every qualifying ordered pair,
+    then the shared pack-sort-bincount kernel verifies the exact count.
+    (No symmetric length filter exists here: B may be arbitrarily larger.)
+
+    Scale shape: the probe side indexes only prefixes (rare grams by
+    construction — stop-gram buckets never form on the A side); the B-side
+    posting list of a rare gram is short by definition of rare, so bucket
+    cost is (few A-prefix entries) × (short B postings) for discriminative
+    grams and (near-zero A-prefix entries) × n for stop grams. The verify
+    join inherits the size-estimated broadcast-or-shuffle choice of the
+    Jaccard verify. Candidates are ordered pairs, so a dense clique costs
+    2× the Jaccard join's pair count — same asymptotics.
+    """
+    from pyspark.sql import Window
+
+    from entity_matchers_spark.functions.shingles import hashed_shingle_table
+    from entity_matchers_spark.functions.similarity import containment_hashed_udf
+
+    if grams_arr is None:
+        grams_arr = hashed_shingle_table(df, id_col, text_col, n=n).localCheckpoint()
+    e = grams_arr.select("id", "sz", F.explode("grams").alias("g"))
+    dfreq = e.groupBy("g").agg(F.count("*").alias("df"))
+    w = Window.partitionBy("id").orderBy(F.col("df").asc(), F.col("g").asc())
+    # epsilon guard as in prefix_filtered_jaccard_pairs: exactly-integral
+    # t*sz must not round up and shorten the prefix
+    min_overlap = F.ceil(F.lit(threshold) * F.col("sz") - F.lit(1e-9))
+    prefix = (
+        e.join(dfreq, "g")
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= F.col("sz") - min_overlap + 1)
+        .select(F.col("id").alias("id_a"), "g")
+    )
+    cands = (
+        prefix.join(e.select(F.col("id").alias("id_b"), "g"), "g")
+        .where(F.col("id_a") != F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    sc = cands.sparkSession.sparkContext
+    cands = cands.repartition(3 * sc.defaultParallelism, "id_a", "id_b")
+    ga = grams_arr.select(F.col("id").alias("id_a"), F.col("grams").alias("ga"))
+    gb = grams_arr.select(F.col("id").alias("id_b"), F.col("grams").alias("gb"))
+    return (
+        cands.join(ga, "id_a")
+        .join(gb, "id_b")
+        .withColumn("containment", containment_hashed_udf(F.col("ga"), F.col("gb")))
+        .where(F.col("containment") >= threshold)
+        .select("id_a", "id_b", "containment")
+    )

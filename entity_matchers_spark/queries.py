@@ -806,6 +806,34 @@ WHERE CASE WHEN len(list_distinct(a.grams || b.grams)) = 0 THEN 0.0
 """
 
 
+def q_containment_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric near-containment pairs (Broder containment ≥ 0.8 over
+    7-char shingles, ordered a→b): finds syndicated/quoted/truncated copies
+    a Jaccard near-dup structurally misses (|A| ≪ |B| caps Jaccard at
+    |A|/|B|). Exact via the asymmetric prefix filter; shares the
+    materialized 7-gram table with the MinHash family."""
+    from entity_matchers_spark.operators.dedup import containment_neardup_pairs
+
+    return containment_neardup_pairs(
+        threshold=0.8, grams_arr=_doc_grams7(spark, sf_dir)
+    )
+
+
+Q_CONTAINMENT_SQL = """
+WITH g AS MATERIALIZED (
+  SELECT doc_id AS id,
+         list_distinct([('0x'||substr(md5(substr(t, i, 7)),1,8))::UBIGINT::BIGINT
+                        for i in range(1, len(t)-5)]) AS grams
+  FROM (SELECT doc_id, lower(text) AS t FROM documents)
+)
+SELECT a.id AS id_a, b.id AS id_b,
+       len(list_intersect(a.grams, b.grams)) / len(a.grams)::DOUBLE AS containment
+FROM g a JOIN g b ON a.id <> b.id
+WHERE len(a.grams) > 0
+  AND len(list_intersect(a.grams, b.grams)) / len(a.grams)::DOUBLE >= 0.8
+"""
+
+
 def q_neardup_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup RESOLUTION: MinHash-LSH pairs (J ≥ 0.7) → hash-min connected
     components → keep the min doc id per duplicate cluster. The step that
@@ -5176,6 +5204,7 @@ FROM agg
 QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     # -- (0) new in this round-3 session
     "weighted_sample": (q_weighted_sample, Q_WEIGHTED_SAMPLE_SQL),
+    "containment_neardup": (q_containment_neardup, Q_CONTAINMENT_SQL),
     "er_bcubed": (q_er_bcubed, Q_ER_BCUBED_SQL),
     "stream_attribution": (q_stream_attribution, Q_STREAM_ATTRIBUTION_SQL),
     "corpus_percentiles": (q_corpus_percentiles, Q_CORPUS_PERCENTILES_SQL),
