@@ -655,3 +655,80 @@ def containment_neardup_pairs(
         .where(F.col("containment") >= threshold)
         .select("id_a", "id_b", "containment")
     )
+
+
+def incremental_neardup_pairs(
+    df: DataFrame,
+    delta_ids: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.7,
+    num_bands: int = 40,
+    rows_per_band: int = 4,
+    shingle_n: int = 7,
+    text_cap: int = 10_000,
+    seed: int = 11037,
+    grams_arr: DataFrame | None = None,
+) -> DataFrame:
+    """Near-dup pairs INVOLVING NEW DOCUMENTS only: delta×indexed ∪
+    delta×delta, never indexed×indexed — the daily-crawl dedup step.
+
+    A 10^12-doc corpus is not re-deduped from scratch per snapshot; the
+    standing corpus keeps a materialized MinHash band index and each new
+    crawl delta is (1) banded, (2) probed against the index + itself,
+    (3) exact-verified. The full-corpus re-dedup is quadratic-ish in
+    candidate mass; this is proportional to the DELTA's candidate mass —
+    the only shape that holds when the delta is 0.1% of the corpus.
+
+    ``delta_ids`` is one column ``id`` marking the new docs. Both sides'
+    signatures are computed here from the shared gram table; in production
+    the indexed side's ``(id, block_id)`` rows come from the stored index
+    (a parquet/Iceberg table partitioned by band — the signature build
+    below is the one-time indexing cost, not a per-delta cost).
+
+    Output: (id_a, id_b, jaccard) with id_a < id_b, J ≥ threshold, at
+    least one side in the delta; verification makes the result exact given
+    banding recall (same 40×4 argument as ``minhash_neardup_pairs``).
+    """
+    from entity_matchers_spark.functions.hashing import minhash_permutation_params
+    from entity_matchers_spark.functions.shingles import hashed_shingle_table
+
+    num_perm = num_bands * rows_per_band
+    if grams_arr is None:
+        grams_arr = hashed_shingle_table(df, id_col, text_col, n=shingle_n, text_cap=text_cap)
+        grams_arr = grams_arr.localCheckpoint()
+    base = grams_arr.select("id", F.explode("grams").alias("hg")).select(
+        "id", (F.col("hg") % MINHASH_PRIME).alias("h")
+    )
+    params = minhash_permutation_params(num_perm, seed)
+    aggs = [
+        F.min((F.lit(a) * F.col("h") + F.lit(b)) % MINHASH_PRIME).alias(f"s{i}")
+        for i, (a, b) in enumerate(params)
+    ]
+    sig = base.groupBy("id").agg(*aggs)
+    keys = []
+    for band in range(num_bands):
+        parts = [F.lit(f"b{band}:")] + [
+            F.concat(F.col(f"s{band * rows_per_band + r}").cast("string"), F.lit("-"))
+            for r in range(rows_per_band)
+        ]
+        keys.append(F.concat(*parts))
+    # The full band table is the INDEX; the delta's slice of it is the probe.
+    # Materialize once — the probe side is read from it, not re-derived.
+    blocks = sig.select("id", F.explode(F.array(*keys)).alias("block_id")).localCheckpoint()
+    # no broadcast hint: the delta can itself be 10^9 rows at target scale;
+    # AQE picks broadcast when the id list is actually small
+    probe = blocks.join(
+        delta_ids.select(F.col(delta_ids.columns[0]).alias("id")), "id", "semi"
+    )
+    cands = (
+        probe.alias("l")
+        .join(blocks.alias("r"), "block_id")
+        .where(F.col("l.id") != F.col("r.id"))
+        .select(
+            F.least(F.col("l.id"), F.col("r.id")).alias("id_a"),
+            F.greatest(F.col("l.id"), F.col("r.id")).alias("id_b"),
+        )
+        .distinct()
+    )
+    return _exact_jaccard_verify(cands, grams_arr, threshold)

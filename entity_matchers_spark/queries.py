@@ -834,6 +834,41 @@ WHERE len(a.grams) > 0
 """
 
 
+def q_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily-crawl incremental dedup: near-dup pairs (J ≥ 0.7, 7-gram)
+    touching the NEW slice only (doc_id ≡ 0 mod 5 plays the fresh-snapshot
+    delta) — delta×indexed ∪ delta×delta, never indexed×indexed. Shares the
+    materialized gram table; the oracle is the full all-pairs Jaccard
+    restricted to delta-touching pairs, so passing proves the probe found
+    every qualifying pair."""
+    from entity_matchers_spark.operators.dedup import incremental_neardup_pairs
+
+    docs = _docs(spark, sf_dir)
+    delta = docs.where(F.col("doc_id") % 5 == 0).select(F.col("doc_id").alias("id"))
+    return incremental_neardup_pairs(
+        docs, delta, threshold=0.7, grams_arr=_doc_grams7(spark, sf_dir)
+    )
+
+
+Q_INCREMENTAL_NEARDUP_SQL = """
+WITH g AS MATERIALIZED (
+  SELECT doc_id AS id,
+         list_distinct([('0x'||substr(md5(substr(t, i, 7)),1,8))::UBIGINT::BIGINT
+                        for i in range(1, len(t)-5)]) AS grams
+  FROM (SELECT doc_id, lower(text) AS t FROM documents)
+)
+SELECT a.id AS id_a, b.id AS id_b,
+       CASE WHEN len(list_distinct(a.grams || b.grams)) = 0 THEN 0.0
+            ELSE len(list_intersect(a.grams, b.grams))
+                 / len(list_distinct(a.grams || b.grams))::DOUBLE END AS jaccard
+FROM g a JOIN g b ON a.id < b.id
+WHERE (a.id % 5 = 0 OR b.id % 5 = 0)
+  AND CASE WHEN len(list_distinct(a.grams || b.grams)) = 0 THEN 0.0
+       ELSE len(list_intersect(a.grams, b.grams))
+            / len(list_distinct(a.grams || b.grams))::DOUBLE END >= 0.7
+"""
+
+
 def q_neardup_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup RESOLUTION: MinHash-LSH pairs (J ≥ 0.7) → hash-min connected
     components → keep the min doc id per duplicate cluster. The step that
@@ -5205,6 +5240,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     # -- (0) new in this round-3 session
     "weighted_sample": (q_weighted_sample, Q_WEIGHTED_SAMPLE_SQL),
     "containment_neardup": (q_containment_neardup, Q_CONTAINMENT_SQL),
+    "incremental_neardup": (q_incremental_neardup, Q_INCREMENTAL_NEARDUP_SQL),
     "er_bcubed": (q_er_bcubed, Q_ER_BCUBED_SQL),
     "stream_attribution": (q_stream_attribution, Q_STREAM_ATTRIBUTION_SQL),
     "corpus_percentiles": (q_corpus_percentiles, Q_CORPUS_PERCENTILES_SQL),
