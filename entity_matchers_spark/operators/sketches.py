@@ -376,3 +376,115 @@ def bloom_membership_join(
         ).drop("_p")
         hit = hit * F.coalesce(F.col(f"_in{j}"), F.lit(0))
     return out.withColumn("hit", hit).drop(*[f"_in{j}" for j in range(k)])
+
+
+# --- Count-Min frequency sketch -------------------------------------------------
+
+CM_DEPTH = 4
+CM_WIDTH = 1 << 14  # 16384 counters per row
+CM_MOD = (1 << 31) - 1  # Mersenne prime, same modulus family as minhash
+
+
+def cm_params(seed: int = 30103, depth: int = CM_DEPTH) -> list[tuple[int, int]]:
+    """``depth`` (A, B) mix pairs, A odd < 2^30, B < 2^31 — the same LCG
+    discipline as bloom_params/minhash_permutation_params, its own stream."""
+    params = []
+    state = seed & 0x7FFFFFFF
+    for _ in range(depth):
+        state = (1103515245 * state + 12345) % (1 << 31)
+        a = (state % (1 << 30)) | 1
+        state = (1103515245 * state + 12345) % (1 << 31)
+        b = state
+        params.append((a, b))
+    return params
+
+
+def _cm_item_hash(value: Column) -> Column:
+    """Pinned 32-bit item hash: first 8 hex chars of md5 — the exact
+    construction every other sketch/sampler in this repo uses, so the
+    DuckDB oracle replays it verbatim."""
+    return F.conv(F.substring(F.md5(value.cast("string")), 1, 8), 16, 10).cast("long")
+
+
+def cm_cell(value: Column, j: int, params, width: int = CM_WIDTH) -> Column:
+    """Row-``j`` counter index for ``value`` per the pinned layout."""
+    a, b = params[j]
+    return ((_cm_item_hash(value) * F.lit(a) + F.lit(b)) % F.lit(CM_MOD)) % F.lit(width)
+
+
+def cm_build(
+    items: DataFrame,
+    item_col: str,
+    group_cols: list[str] | None = None,
+    depth: int = CM_DEPTH,
+    width: int = CM_WIDTH,
+    seed: int = 30103,
+) -> DataFrame:
+    """Mergeable Count-Min sketch TABLE (group_cols..., j, cell, cnt):
+    Cormode & Muthukrishnan 2005, the frequency analog of the HLL register
+    table above. ``est(x) = min_j cnt[j][cell_j(x)]`` never underestimates
+    and overestimates by ≤ 2N/width with prob ≥ 1 − 2^-depth.
+
+    Why a table, not a UDF blob: per-(day, source) sketch tables MERGE by
+    ``sum`` over (j, cell) — compute once per cell of the finest grain,
+    roll any coarser grain up without rescanning the corpus, checkpoint,
+    union across crawls. At most depth×width rows per group regardless of
+    input size; one map-side partially-aggregated groupBy builds it.
+
+    Reference anchor: the reference's blocking audit counts per-key
+    frequencies exactly (process_blocking_result.py); this is that audit
+    at 10^12-doc scale, where "which tokens/domains/URLs are heavy" cannot
+    afford an exact global groupBy per question asked.
+    """
+    params = cm_params(seed, depth)
+    gcols = list(group_cols or [])
+    v = F.col(item_col)
+    cells = F.array(*[
+        F.struct(F.lit(j).alias("j"), cm_cell(v, j, params, width).alias("cell"))
+        for j in range(depth)
+    ])
+    return (
+        items.select(*gcols, F.explode(cells).alias("_jc"))
+        .select(*gcols, F.col("_jc.j").alias("j"), F.col("_jc.cell").alias("cell"))
+        .groupBy(*gcols, "j", "cell")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def cm_merge(sketch: DataFrame, group_cols: list[str]) -> DataFrame:
+    """Roll sketch tables up to a coarser grain: sum counters per (j, cell).
+    Exact by linearity — merging per-slice sketches equals sketching the
+    union (the property that makes the sketch a checkpointable table)."""
+    return sketch.groupBy(*group_cols, "j", "cell").agg(F.sum("cnt").alias("cnt"))
+
+
+def cm_estimate(
+    probes: DataFrame,
+    sketch: DataFrame,
+    item_col: str,
+    depth: int = CM_DEPTH,
+    width: int = CM_WIDTH,
+    seed: int = 30103,
+) -> DataFrame:
+    """``probes`` + ``est`` (the Count-Min upper-bound frequency estimate).
+
+    Shape: explode each probe into its ``depth`` (j, cell) coordinates,
+    LEFT-join the sketch table (missing counter ⇒ 0 — only reachable when
+    the probe item never appeared), take the min per probe. The sketch
+    side is ≤ depth×width rows — broadcast-size by construction at any
+    corpus scale (the whole point of a sketch), so the join never
+    shuffles the probe side."""
+    params = cm_params(seed, depth)
+    v = F.col(item_col)
+    cells = F.array(*[
+        F.struct(F.lit(j).alias("j"), cm_cell(v, j, params, width).alias("cell"))
+        for j in range(depth)
+    ])
+    exploded = probes.select(item_col, F.explode(cells).alias("_jc")).select(
+        item_col, F.col("_jc.j").alias("j"), F.col("_jc.cell").alias("cell")
+    )
+    return (
+        exploded.join(F.broadcast(sketch.select("j", "cell", "cnt")), ["j", "cell"], "left")
+        .groupBy(item_col)
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est"))
+    )

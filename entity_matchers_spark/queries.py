@@ -1330,6 +1330,59 @@ WHERE d.doc_id % {DECON_BENCH_MOD} != 0
 """
 
 
+CM_HH_MIN = 900
+
+
+def q_cm_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min heavy hitters: per-source sketch tables built over ALL
+    corpus tokens, SUM-merged to the global sketch (exercising the
+    mergeability contract — by linearity the merged table equals the
+    directly-built global sketch, which is what the oracle computes), then
+    every distinct token probed; tokens with est ≥ 900 are the heavy set.
+    The corpus-scale frequent-token/domain audit that cannot afford an
+    exact global groupBy per question."""
+    from entity_matchers_spark.operators.sketches import cm_build, cm_estimate, cm_merge
+    from entity_matchers_spark.functions.shingles import tokens
+
+    docs = _docs(spark, sf_dir)
+    toks = docs.select("source", F.explode(tokens(F.col("text"))).alias("tok"))
+    per_source = cm_build(toks, "tok", group_cols=["source"])
+    merged = cm_merge(per_source, []).localCheckpoint()
+    probes = toks.select("tok").distinct()
+    return (
+        cm_estimate(probes, merged, "tok")
+        .where(F.col("est") >= CM_HH_MIN)
+        .select("tok", "est")
+    )
+
+
+def _build_cm_hh_sql() -> str:
+    from entity_matchers_spark.operators.sketches import CM_MOD, CM_WIDTH, cm_params
+
+    params = cm_params()
+    rows = ", ".join(f"({j}, {a}, {b})" for j, (a, b) in enumerate(params))
+    return f"""
+WITH toks AS MATERIALIZED (
+  SELECT unnest(list_filter(string_split_regex(lower(text), '\\s+'), x -> x != '')) AS tok
+  FROM documents
+),
+h AS MATERIALIZED (
+  SELECT tok, ('0x'||substr(md5(tok),1,8))::UBIGINT::BIGINT AS g FROM toks
+),
+cells AS MATERIALIZED (
+  SELECT tok, p.j, ((g * p.a + p.b) % {CM_MOD}) % {CM_WIDTH} AS cell
+  FROM h, (VALUES {rows}) AS p(j, a, b)
+),
+sketch AS MATERIALIZED (
+  SELECT j, cell, count(*) AS cnt FROM cells GROUP BY j, cell
+),
+probe AS (SELECT DISTINCT tok, j, cell FROM cells)
+SELECT tok, min(coalesce(s.cnt, 0)) AS est
+FROM probe p LEFT JOIN sketch s USING (j, cell)
+GROUP BY tok HAVING min(coalesce(s.cnt, 0)) >= {CM_HH_MIN}
+"""
+
+
 Q_DECONTAMINATE_SQL = f"""
 WITH toks AS MATERIALIZED (
   SELECT doc_id,
@@ -5241,6 +5294,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "weighted_sample": (q_weighted_sample, Q_WEIGHTED_SAMPLE_SQL),
     "containment_neardup": (q_containment_neardup, Q_CONTAINMENT_SQL),
     "incremental_neardup": (q_incremental_neardup, Q_INCREMENTAL_NEARDUP_SQL),
+    "cm_heavy_hitters": (q_cm_heavy_hitters, _build_cm_hh_sql()),
     "er_bcubed": (q_er_bcubed, Q_ER_BCUBED_SQL),
     "stream_attribution": (q_stream_attribution, Q_STREAM_ATTRIBUTION_SQL),
     "corpus_percentiles": (q_corpus_percentiles, Q_CORPUS_PERCENTILES_SQL),

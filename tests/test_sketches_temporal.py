@@ -142,3 +142,35 @@ def test_bloom_probe_equals_membership_join(spark):
     non_members = [g for g in got_bitmap if g not in members]
     fp = sum(got_bitmap[g] for g in non_members)
     assert fp / max(1, len(non_members)) < 0.10
+
+
+def test_countmin_never_underestimates_and_merges(spark):
+    from entity_matchers_spark.operators.sketches import (
+        cm_build, cm_estimate, cm_merge,
+    )
+    import pyspark.sql.functions as F
+
+    rows = (
+        [("a", "s1")] * 50 + [("b", "s1")] * 7 + [("c", "s2")] * 31
+        + [("d", "s2")] * 1 + [("e", "s1")] * 13
+    )
+    df = spark.createDataFrame(rows, "tok string, src string")
+    probes = df.select("tok").distinct()
+    truth = {r.tok: r.c for r in df.groupBy("tok").agg(F.count("*").alias("c")).collect()}
+
+    # wide sketch: estimates are exact here (5 items, 16384 counters)
+    sk = cm_build(df, "tok")
+    est = {r.tok: r.est for r in cm_estimate(probes, sk, "tok").collect()}
+    assert est == truth
+
+    # merge linearity: per-source sketches summed == direct global sketch
+    merged = cm_merge(cm_build(df, "tok", group_cols=["src"]), [])
+    direct = {(r.j, r.cell): r.cnt for r in sk.collect()}
+    rolled = {(r.j, r.cell): r.cnt for r in merged.collect()}
+    assert rolled == direct
+
+    # tiny width forces collisions: estimates may rise but NEVER fall
+    sk4 = cm_build(df, "tok", width=4)
+    est4 = {r.tok: r.est for r in cm_estimate(probes, sk4, "tok", width=4).collect()}
+    assert all(est4[t] >= c for t, c in truth.items())
+    assert sum(est4.values()) > sum(truth.values())  # collisions really occurred

@@ -86,6 +86,10 @@ HEADLINE = [
     "blocking_quality",
     "stream_enrich",
     "er_hard_negatives",
+    "weighted_sample",
+    "containment_neardup",
+    "incremental_neardup",
+    "cm_heavy_hitters",
 ]
 
 # Max allowed ``Exchange SinglePartition`` occurrences: pack_sequences owns
