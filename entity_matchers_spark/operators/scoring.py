@@ -311,3 +311,91 @@ def monge_elkan_scores(
             F.round((F.col("me_ab") + F.col("me_ba")) / 2, 6).alias("me_sym"),
         )
     )
+
+
+def fellegi_sunter_em(
+    pairs: DataFrame,
+    agreement_cols: list[str],
+    n_iter: int = 3,
+    quant: int = 10**12,
+    init_p: float = 0.1,
+    init_m: float = 0.9,
+    init_u: float = 0.1,
+) -> tuple[DataFrame, dict]:
+    """UNSUPERVISED Fellegi-Sunter: EM over agreement patterns (Winkler
+    1988; the estimation route production linkers take when no labels
+    exist — the supervised ``fellegi_sunter_weights`` above needs y).
+
+    Latent-class EM under conditional independence: E-step gives every
+    agreement PATTERN a match posterior g; M-step re-estimates p (match
+    prevalence) and per-feature m/u from the g-weighted pattern counts.
+    Identical pairs share a pattern, so the whole EM state is the ≤ 2^K
+    integer pattern-count table — collected to the driver (bounded rows,
+    same loop-control precedent as calibration) and iterated in plain
+    Python; the corpus-scale work is ONE partially-aggregated groupBy.
+
+    Cross-engine determinism (the oracle replays the EM itself, unrolled
+    one CTE per iteration): every float enters through the same
+    fixed-order expression — left-associated products for the class
+    likelihoods, posteriors quantized to integer units of 1/quant with
+    ``floor(g·quant + 0.5)``, M-step sums taken over INTEGERS (exact,
+    order-free), and each update divides explicit float() casts of those
+    integers (round-to-nearest conversion then one correctly-rounded IEEE
+    division — bit-identical in any engine). Add-one smoothing is one
+    whole pair of mass in quantized units.
+
+    Returns (scored_pairs, params): pairs + ``fs_weight`` (log-likelihood
+    under the learned m/u, 6 dp), ``match_prob`` (final-iteration
+    posterior, 6 dp), ``is_link`` = weight > 0; params carries the learned
+    ``{"p": .., "m": [..], "u": [..]}`` for reuse as a fitted model.
+    """
+    import math
+
+    K = len(agreement_cols)
+    rows = pairs.groupBy(*agreement_cols).agg(F.count("*").alias("c")).collect()
+    pats = sorted(
+        (tuple(bool(r[c]) for c in agreement_cols), int(r["c"])) for r in rows
+    )
+    n_total = sum(c for _, c in pats)
+    Q = quant
+    p, ms, us = init_p, [init_m] * K, [init_u] * K
+    for _ in range(n_iter):
+        sg = 0
+        su = 0
+        sga = [0] * K
+        sua = [0] * K
+        for a, c in pats:
+            num = p
+            den = 1.0 - p
+            for k in range(K):
+                num *= ms[k] if a[k] else 1.0 - ms[k]
+                den *= us[k] if a[k] else 1.0 - us[k]
+            g = num / (num + den)
+            gq = math.floor(g * Q + 0.5)
+            sg += c * gq
+            su += c * (Q - gq)
+            for k in range(K):
+                if a[k]:
+                    sga[k] += c * gq
+                    sua[k] += c * (Q - gq)
+        p = float(sg) / float(n_total * Q)
+        ms = [float(sga[k] + Q) / float(sg + 2 * Q) for k in range(K)]
+        us = [float(sua[k] + Q) / float(su + 2 * Q) for k in range(K)]
+
+    w = None
+    num = F.lit(p)
+    den = F.lit(1.0) - F.lit(p)
+    for k, cname in enumerate(agreement_cols):
+        a = F.col(cname)
+        term = F.when(a, F.log(F.lit(ms[k]) / F.lit(us[k]))).otherwise(
+            F.log((F.lit(1.0) - F.lit(ms[k])) / (F.lit(1.0) - F.lit(us[k])))
+        )
+        w = term if w is None else w + term
+        num = num * F.when(a, F.lit(ms[k])).otherwise(F.lit(1.0) - F.lit(ms[k]))
+        den = den * F.when(a, F.lit(us[k])).otherwise(F.lit(1.0) - F.lit(us[k]))
+    out = (
+        pairs.withColumn("fs_weight", F.round(w, 6))
+        .withColumn("match_prob", F.round(num / (num + den), 6))
+        .withColumn("is_link", (F.col("fs_weight") > 0).cast("int"))
+    )
+    return out, {"p": p, "m": ms, "u": us}

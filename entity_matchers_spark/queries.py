@@ -4918,6 +4918,100 @@ def q_fellegi_sunter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_fellegi_sunter_em(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNSUPERVISED Fellegi-Sunter: m/u/p learned by EM over agreement
+    patterns (Winkler 1988) with NO labels — the estimation route a
+    production linker takes on an unlabeled corpus. Same jw/tslr/cos
+    agreement indicators as the supervised query; the oracle replays the
+    quantized-integer EM itself, one unrolled CTE per iteration."""
+    from entity_matchers_spark.operators.scoring import fellegi_sunter_em
+
+    scored = _er_spark_scores(spark, sf_dir)
+    lab = scored.select(
+        "id_a", "id_b",
+        (F.col("jw") >= FS_JW_T).alias("a_jw"),
+        (F.col("tslr") >= FS_TSLR_T).alias("a_tslr"),
+        (F.col("cos") >= FS_COS_T).alias("a_cos"),
+    )
+    out, _params = fellegi_sunter_em(lab, ["a_jw", "a_tslr", "a_cos"])
+    return out.select(
+        "id_a", "id_b",
+        F.col("a_jw").cast("int").alias("a_jw"),
+        F.col("a_tslr").cast("int").alias("a_tslr"),
+        F.col("a_cos").cast("int").alias("a_cos"),
+        "fs_weight", "match_prob", "is_link",
+    )
+
+
+def _build_fs_em_sql(n_iter: int = 3) -> str:
+    cols = ["a_jw", "a_tslr", "a_cos"]
+    K = len(cols)
+    Q = 10**12
+
+    def t_terms(it: str, kind: str) -> str:
+        # left-associated product, ascending k — must mirror the Python loop
+        return " * ".join(
+            f"CASE WHEN {cols[k]} THEN {it}.{kind}{k} ELSE 1.0 - {it}.{kind}{k} END"
+            for k in range(K)
+        )
+
+    init = ", ".join(
+        ["0.1::DOUBLE AS p"]
+        + [f"0.9::DOUBLE AS m{k}" for k in range(K)]
+        + [f"0.1::DOUBLE AS u{k}" for k in range(K)]
+    )
+    ctes = [f"it0 AS (SELECT {init})"]
+    for t in range(1, n_iter + 1):
+        prev = f"it{t-1}"
+        num = f"({prev}.p * {t_terms(prev, 'm')})"
+        den = f"((1.0 - {prev}.p) * {t_terms(prev, 'u')})"
+        ctes.append(
+            f"e{t} AS (SELECT pat.*, "
+            f"floor(({num} / ({num} + {den})) * {float(Q)!r} + 0.5)::BIGINT AS gq "
+            f"FROM pat, {prev})"
+        )
+        upd = [
+            f"(sum(c * gq)::BIGINT)::DOUBLE / ((SELECT n FROM tot) * {Q})::DOUBLE AS p"
+        ]
+        for k in range(K):
+            upd.append(
+                f"(sum(CASE WHEN {cols[k]} THEN c * gq ELSE 0 END)::BIGINT + {Q})::DOUBLE"
+                f" / (sum(c * gq)::BIGINT + {2 * Q})::DOUBLE AS m{k}"
+            )
+        for k in range(K):
+            upd.append(
+                f"(sum(CASE WHEN {cols[k]} THEN c * ({Q} - gq) ELSE 0 END)::BIGINT + {Q})::DOUBLE"
+                f" / (sum(c * ({Q} - gq))::BIGINT + {2 * Q})::DOUBLE AS u{k}"
+            )
+        ctes.append(f"it{t} AS (SELECT {', '.join(upd)} FROM e{t})")
+    fin = f"it{n_iter}"
+    w = " + ".join(
+        f"CASE WHEN {cols[k]} THEN ln({fin}.m{k} / {fin}.u{k}) "
+        f"ELSE ln((1.0 - {fin}.m{k}) / (1.0 - {fin}.u{k})) END"
+        for k in range(K)
+    )
+    numf = f"({fin}.p * {t_terms(fin, 'm')})"
+    denf = f"((1.0 - {fin}.p) * {t_terms(fin, 'u')})"
+    return f"""
+WITH {_er_blocks_sql()}, {_er_pairs_sql()}, {_er_scores_sql()},
+lab AS MATERIALIZED (
+  SELECT id_a, id_b, (jw >= {FS_JW_T}) AS a_jw, (tslr >= {FS_TSLR_T}) AS a_tslr,
+         (cos >= {FS_COS_T}) AS a_cos
+  FROM final_scored
+),
+pat AS MATERIALIZED (
+  SELECT a_jw, a_tslr, a_cos, count(*)::BIGINT AS c FROM lab GROUP BY 1, 2, 3
+),
+tot AS (SELECT sum(c)::BIGINT AS n FROM pat),
+{', '.join(ctes)}
+SELECT id_a, id_b, a_jw::INT AS a_jw, a_tslr::INT AS a_tslr, a_cos::INT AS a_cos,
+       round({w}, 6) AS fs_weight,
+       round({numf} / ({numf} + {denf}), 6) AS match_prob,
+       (round({w}, 6) > 0)::INT AS is_link
+FROM lab, {fin}
+"""
+
+
 Q_FELLEGI_SUNTER_SQL = f"""
 WITH {_er_blocks_sql()}, {_er_pairs_sql()}, {_er_scores_sql()},
 lab AS MATERIALIZED (
@@ -5295,6 +5389,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "containment_neardup": (q_containment_neardup, Q_CONTAINMENT_SQL),
     "incremental_neardup": (q_incremental_neardup, Q_INCREMENTAL_NEARDUP_SQL),
     "cm_heavy_hitters": (q_cm_heavy_hitters, _build_cm_hh_sql()),
+    "fellegi_sunter_em": (q_fellegi_sunter_em, _build_fs_em_sql()),
     "er_bcubed": (q_er_bcubed, Q_ER_BCUBED_SQL),
     "stream_attribution": (q_stream_attribution, Q_STREAM_ATTRIBUTION_SQL),
     "corpus_percentiles": (q_corpus_percentiles, Q_CORPUS_PERCENTILES_SQL),

@@ -472,3 +472,38 @@ def test_golden_records_survivorship(spark):
     s = got[9]
     assert (s.n_members, s.canonical_id, s.source, s.lang, s.max_chars) == (
         1, 9, "s9", "fr", 50)
+
+
+def test_fellegi_sunter_em_separates_mixture(spark):
+    """EM with no labels must discover the two latent classes in a planted
+    mixture: pairs agreeing on all three features get posterior ~1 and
+    positive weight; all-disagree pairs get posterior ~0 and negative
+    weight. Learned m_k > u_k for every feature."""
+    from entity_matchers_spark.operators.scoring import fellegi_sunter_em
+
+    rows = []
+    pid = 0
+    # 80 clear matches (agree on everything, occasionally one miss)
+    for i in range(80):
+        rows.append((pid, True, True, i % 10 != 0)); pid += 1
+    # 920 clear non-matches (disagree, occasionally one accidental hit)
+    for i in range(920):
+        rows.append((pid, i % 20 == 0, False, False)); pid += 1
+    df = spark.createDataFrame(rows, "pair_id long, a1 boolean, a2 boolean, a3 boolean")
+
+    out, params = fellegi_sunter_em(df, ["a1", "a2", "a3"])
+    got = {r.pair_id: r for r in out.collect()}
+
+    assert all(params["m"][k] > params["u"][k] for k in range(3))
+    assert 0.0 < params["p"] < 0.3  # prevalence near the planted 8%
+    full_agree = [r for r in got.values() if r.a1 and r.a2 and r.a3]
+    full_dis = [r for r in got.values() if not (r.a1 or r.a2 or r.a3)]
+    assert full_agree and full_dis
+    assert all(r.match_prob > 0.95 and r.is_link == 1 for r in full_agree)
+    assert all(r.match_prob < 0.05 and r.is_link == 0 for r in full_dis)
+
+    # determinism: a second run returns bit-identical weights
+    out2, params2 = fellegi_sunter_em(df, ["a1", "a2", "a3"])
+    assert params2 == params
+    got2 = {r.pair_id: (r.fs_weight, r.match_prob) for r in out2.collect()}
+    assert got2 == {k: (r.fs_weight, r.match_prob) for k, r in got.items()}

@@ -90,6 +90,7 @@ HEADLINE = [
     "containment_neardup",
     "incremental_neardup",
     "cm_heavy_hitters",
+    "fellegi_sunter_em",
 ]
 
 # Max allowed ``Exchange SinglePartition`` occurrences: pack_sequences owns
