@@ -5285,6 +5285,46 @@ FROM base b JOIN top_source s USING (cluster_id) JOIN top_lang l USING (cluster_
 )
 
 
+def q_cluster_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-free train/valid/test split: the 80/10/10 decision hashes
+    the CLUSTER id (shared transitive-cluster table), so a near-dup/entity
+    cluster lands whole in one split — the guard against test-set
+    contamination by training near-duplicates (Lee et al. 2022)."""
+    from entity_matchers_spark.operators.sampling import cluster_split
+
+    return cluster_split(_er_spark_clusters(spark, sf_dir)).select(
+        "doc_id", "cluster_id", "split"
+    )
+
+
+def _build_cluster_split_sql() -> str:
+    # accumulate the fraction boundaries EXACTLY as the operator does, so
+    # the SQL literals are the same doubles Spark compares against
+    fractions, names = (0.8, 0.1, 0.1), ("train", "valid", "test")
+    bounds, acc = [], 0.0
+    for f in fractions[:-1]:
+        acc += f
+        bounds.append(acc)
+    u = "(('0x'||substr(md5('split:'||CAST(cluster_id AS VARCHAR)),1,8))::UBIGINT / 4294967296.0)"
+    whens = " ".join(
+        f"WHEN {u} < {b!r} THEN '{n}'" for n, b in zip(names[:-1], bounds)
+    )
+    return Q_ER_CLUSTERS_SQL.replace(
+        """
+SELECT d.doc_id, coalesce(cc.cluster_id, d.doc_id) AS cluster_id
+FROM documents d LEFT JOIN cc ON d.doc_id = cc.id
+""",
+        f""",
+  base AS MATERIALIZED (
+    SELECT d.doc_id, coalesce(cc.cluster_id, d.doc_id) AS cluster_id
+    FROM documents d LEFT JOIN cc ON d.doc_id = cc.id
+  )
+SELECT doc_id, cluster_id, CASE {whens} ELSE '{names[-1]}' END AS split
+FROM base
+""",
+    )
+
+
 def q_er_bcubed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B-cubed P/R/F1 of the mutual-best transitive clusters against the
     truth classes (transitive closure of the jac3-derived truth pairs) —
@@ -5390,6 +5430,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "incremental_neardup": (q_incremental_neardup, Q_INCREMENTAL_NEARDUP_SQL),
     "cm_heavy_hitters": (q_cm_heavy_hitters, _build_cm_hh_sql()),
     "fellegi_sunter_em": (q_fellegi_sunter_em, _build_fs_em_sql()),
+    "cluster_split": (q_cluster_split, _build_cluster_split_sql()),
     "er_bcubed": (q_er_bcubed, Q_ER_BCUBED_SQL),
     "stream_attribution": (q_stream_attribution, Q_STREAM_ATTRIBUTION_SQL),
     "corpus_percentiles": (q_corpus_percentiles, Q_CORPUS_PERCENTILES_SQL),

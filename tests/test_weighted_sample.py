@@ -100,3 +100,23 @@ def test_weighted_sample_weight_bias(spark):
     # Expected heavy inclusions/trial ≈ 5.3 of 11 (10 docs w=10 vs 100 w=1);
     # uniform sampling would give ~1. Demand a wide margin above uniform.
     assert heavy_hits >= trials * 3
+
+
+def test_cluster_split_never_straddles(spark):
+    """Every cluster lands whole in one split; fractions are roughly
+    honored at the cluster level; the decision is deterministic."""
+    from entity_matchers_spark.operators.sampling import cluster_split
+
+    rows = [(i, i // 3) for i in range(600)]  # clusters of 3
+    df = spark.createDataFrame(rows, "doc_id long, cluster_id long")
+    out = cluster_split(df).collect()
+    by_cluster: dict[int, set[str]] = {}
+    counts: dict[str, int] = {}
+    for r in out:
+        by_cluster.setdefault(r.cluster_id, set()).add(r.split)
+        counts[r.split] = counts.get(r.split, 0) + 1
+    assert all(len(s) == 1 for s in by_cluster.values())  # no straddle
+    assert set(counts) == {"train", "valid", "test"}
+    assert counts["train"] > counts["valid"] and counts["train"] > counts["test"]
+    out2 = cluster_split(df).collect()
+    assert {(r.doc_id, r.split) for r in out2} == {(r.doc_id, r.split) for r in out}

@@ -91,6 +91,7 @@ HEADLINE = [
     "incremental_neardup",
     "cm_heavy_hitters",
     "fellegi_sunter_em",
+    "cluster_split",
 ]
 
 # Max allowed ``Exchange SinglePartition`` occurrences: pack_sequences owns
