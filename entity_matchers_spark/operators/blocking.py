@@ -636,3 +636,60 @@ def blocking_quality(
             ),
         )
     )
+
+
+def blocking_rule_audit(
+    blocks: DataFrame, gold_pairs: DataFrame, rule_col: str = "rule"
+) -> DataFrame:
+    """Per-RULE blocking contribution audit — one row per blocking rule
+    with its key count, pair budget, gold coverage, and UNIQUE coverage
+    (gold pairs no other rule co-blocks). The decision table for tuning a
+    union-of-rules blocker: a rule whose unique coverage is ~0 can be
+    dropped for its entire pair budget; one with high unique coverage is
+    load-bearing. (The per-rule analysis production linkage tools ship for
+    composing blocking rules; the reference tunes its union blocker by the
+    aggregate stats.csv only, README.md:295-383.)
+
+    Scale shape: the pair budget comes from block SIZES (never
+    materializing candidates); coverage joins are gold-bounded. Columns:
+    (rule, n_keys, n_cands, n_gold, n_covered, n_unique, completeness).
+    """
+    sizes = blocks.groupBy(rule_col, "block_id").agg(F.count("*").alias("nb"))
+    budget = sizes.groupBy(rule_col).agg(
+        F.count("*").alias("n_keys"),
+        F.sum((F.col("nb") * (F.col("nb") - 1) / 2).cast("long")).alias("n_cands"),
+    )
+    ba = blocks.select(F.col("id").alias("id_a"), rule_col, "block_id")
+    bb = blocks.select(F.col("id").alias("id_b"), rule_col, "block_id")
+    rule_cov = (
+        gold_pairs.join(ba, "id_a")
+        .join(bb, [rule_col, "block_id", "id_b"], "left_semi")
+        .select(rule_col, "id_a", "id_b")
+        .distinct()
+    )
+    n_rules_per_pair = rule_cov.groupBy("id_a", "id_b").agg(
+        F.count("*").alias("_nr")
+    )
+    cov_stats = (
+        rule_cov.join(n_rules_per_pair, ["id_a", "id_b"])
+        .groupBy(rule_col)
+        .agg(
+            F.count("*").alias("n_covered"),
+            F.sum(F.when(F.col("_nr") == 1, 1).otherwise(0)).cast("long").alias("n_unique"),
+        )
+    )
+    n_gold = gold_pairs.count()
+    return (
+        budget.join(cov_stats, rule_col, "left")
+        .select(
+            rule_col,
+            "n_keys",
+            "n_cands",
+            F.lit(int(n_gold)).cast("long").alias("n_gold"),
+            F.coalesce(F.col("n_covered"), F.lit(0)).cast("long").alias("n_covered"),
+            F.coalesce(F.col("n_unique"), F.lit(0)).cast("long").alias("n_unique"),
+            F.round(
+                F.coalesce(F.col("n_covered"), F.lit(0)) / F.lit(float(n_gold)), 6
+            ).alias("completeness"),
+        )
+    )

@@ -5130,6 +5130,58 @@ def q_blocking_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return blocking.blocking_quality(dom, gold, n_entities=docs.count())
 
 
+def q_blocking_rule_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-rule blocking contribution: how many candidate pairs and how
+    much (unique) gold recall each rule of the union blocker carries —
+    the drop-or-keep decision table for composing blocking rules."""
+    blocks = _er_spark_blocks(spark, sf_dir).withColumn(
+        "rule",
+        F.when(F.col("block_id").startswith("dom:"), F.lit("domain")).otherwise(
+            F.lit("minhash")
+        ),
+    )
+    gold = _er_spark_scores(spark, sf_dir).where(F.col("jac3") >= 0.55).select(
+        "id_a", "id_b"
+    )
+    return blocking.blocking_rule_audit(blocks, gold)
+
+
+Q_BLOCKING_RULE_AUDIT_SQL = f"""
+WITH {_er_blocks_sql()}, {_er_pairs_sql()}, {_er_scores_sql()},
+gold AS MATERIALIZED (SELECT id_a, id_b FROM final_scored WHERE jac3 >= 0.55),
+rb AS MATERIALIZED (
+  SELECT id, block_id,
+         CASE WHEN block_id LIKE 'dom:%' THEN 'domain' ELSE 'minhash' END AS rule
+  FROM blocks
+),
+sizes AS (SELECT rule, block_id, count(*)::BIGINT AS nb FROM rb GROUP BY rule, block_id),
+budget AS (
+  SELECT rule, count(*)::BIGINT AS n_keys,
+         sum((nb * (nb - 1) / 2)::BIGINT)::BIGINT AS n_cands
+  FROM sizes GROUP BY rule
+),
+rule_cov AS MATERIALIZED (
+  SELECT DISTINCT a.rule, g.id_a, g.id_b
+  FROM gold g
+  JOIN rb a ON a.id = g.id_a
+  JOIN rb b ON b.id = g.id_b AND b.rule = a.rule AND b.block_id = a.block_id
+),
+nper AS (SELECT id_a, id_b, count(*)::BIGINT AS nr FROM rule_cov GROUP BY id_a, id_b),
+cov AS (
+  SELECT rc.rule, count(*)::BIGINT AS n_covered,
+         sum(CASE WHEN nper.nr = 1 THEN 1 ELSE 0 END)::BIGINT AS n_unique
+  FROM rule_cov rc JOIN nper USING (id_a, id_b) GROUP BY rc.rule
+)
+SELECT budget.rule, n_keys, n_cands,
+       (SELECT count(*) FROM gold)::BIGINT AS n_gold,
+       coalesce(cov.n_covered, 0)::BIGINT AS n_covered,
+       coalesce(cov.n_unique, 0)::BIGINT AS n_unique,
+       round(coalesce(cov.n_covered, 0) / (SELECT count(*) FROM gold)::DOUBLE, 6)
+         AS completeness
+FROM budget LEFT JOIN cov ON budget.rule = cov.rule
+"""
+
+
 def _blocking_quality_sql() -> str:
     return f"""
 WITH {_er_blocks_sql()}, {_er_pairs_sql()}, {_er_scores_sql()},
@@ -5431,6 +5483,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "cm_heavy_hitters": (q_cm_heavy_hitters, _build_cm_hh_sql()),
     "fellegi_sunter_em": (q_fellegi_sunter_em, _build_fs_em_sql()),
     "cluster_split": (q_cluster_split, _build_cluster_split_sql()),
+    "blocking_rule_audit": (q_blocking_rule_audit, Q_BLOCKING_RULE_AUDIT_SQL),
     "er_bcubed": (q_er_bcubed, Q_ER_BCUBED_SQL),
     "stream_attribution": (q_stream_attribution, Q_STREAM_ATTRIBUTION_SQL),
     "corpus_percentiles": (q_corpus_percentiles, Q_CORPUS_PERCENTILES_SQL),

@@ -103,3 +103,34 @@ def test_containment_prefix_filter_zero_recall_loss(spark):
     }
     assert got == expect
     assert expect  # fixture actually produced containment pairs
+
+
+def test_blocking_rule_audit_unique_attribution(spark):
+    """Synthetic two-rule blocker where coverage attribution is known:
+    rule A uniquely covers one gold pair, rule B another, one pair is
+    covered by both (not unique), one gold pair is uncovered."""
+    from entity_matchers_spark.operators.blocking import blocking_rule_audit
+    import pyspark.sql.functions as F
+
+    blocks = spark.createDataFrame(
+        [
+            # rule A blocks: {1,2} share kA1 (gold), {5,6} share kA2 (both-rule pair)
+            (1, "A", "kA1"), (2, "A", "kA1"), (5, "A", "kA2"), (6, "A", "kA2"),
+            # rule B blocks: {3,4} share kB1 (gold), {5,6} share kB2 (same pair again)
+            (3, "B", "kB1"), (4, "B", "kB1"), (5, "B", "kB2"), (6, "B", "kB2"),
+            # singleton keys contribute keys but no pairs
+            (7, "A", "kA3"), (8, "B", "kB3"),
+        ],
+        "id long, rule string, block_id string",
+    )
+    gold = spark.createDataFrame(
+        [(1, 2), (3, 4), (5, 6), (7, 9)], "id_a long, id_b long"
+    )
+    out = {r.rule: r for r in blocking_rule_audit(blocks, gold).collect()}
+    a, b = out["A"], out["B"]
+    assert a.n_keys == 3 and b.n_keys == 3
+    assert a.n_cands == 2 and b.n_cands == 2  # one pair per 2-doc block
+    assert a.n_gold == 4 and b.n_gold == 4
+    assert a.n_covered == 2 and b.n_covered == 2  # each rule covers 2 gold pairs
+    assert a.n_unique == 1 and b.n_unique == 1   # (1,2) only-A; (3,4) only-B
+    assert a.completeness == 0.5 and b.completeness == 0.5

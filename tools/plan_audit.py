@@ -92,6 +92,7 @@ HEADLINE = [
     "cm_heavy_hitters",
     "fellegi_sunter_em",
     "cluster_split",
+    "blocking_rule_audit",
 ]
 
 # Max allowed ``Exchange SinglePartition`` occurrences: pack_sequences owns
