@@ -78,15 +78,18 @@ def _pack_bitmap_from_grams_udf(width_bytes: int, vocab_bc):
     return _pack
 
 
-def _bitmap_jaccard_udf():
-    """pandas UDF (bm_a, bm_b, sz_a, sz_b) -> Jaccard: popcount(AND) via a
-    16-bit LUT — one C-speed pass per Arrow batch, ~100x cheaper than the
-    per-pair sorted-array merge when the gram vocabulary is dense-mappable."""
+def _bitmap_overlap_udf(measure: str = "jaccard"):
+    """pandas UDF (bm_a, bm_b, sz_a, sz_b) -> similarity: popcount(AND) via
+    a 16-bit LUT — one C-speed pass per Arrow batch, ~100x cheaper than the
+    per-pair sorted-array merge when the gram vocabulary is dense-mappable.
+    ``measure``: 'jaccard' = inter/union, 'containment' = inter/|a|."""
     from pyspark.sql.functions import pandas_udf
     from pyspark.sql.types import DoubleType
 
+    contain = measure == "containment"
+
     @pandas_udf(DoubleType())
-    def _jac(ba: pd.Series, bb: pd.Series, sza: pd.Series, szb: pd.Series) -> pd.Series:
+    def _sim(ba: pd.Series, bb: pd.Series, sza: pd.Series, szb: pd.Series) -> pd.Series:
         n = len(ba)
         if n == 0:
             return pd.Series([], dtype=np.float64)
@@ -95,12 +98,16 @@ def _bitmap_jaccard_udf():
         B = np.frombuffer(b"".join(bb.tolist()), dtype=np.uint8).reshape(n, wb)
         anded = A & B
         inter = _POPCOUNT16[anded.view(np.uint16)].sum(axis=1).astype(np.int64)
-        union = sza.to_numpy() + szb.to_numpy() - inter
+        den = sza.to_numpy() if contain else sza.to_numpy() + szb.to_numpy() - inter
         with np.errstate(divide="ignore", invalid="ignore"):
-            jac = inter / union.astype(np.float64)
-        return pd.Series(np.where(union > 0, jac, 0.0))
+            sim = inter / den.astype(np.float64)
+        return pd.Series(np.where(den > 0, sim, 0.0))
 
-    return _jac
+    return _sim
+
+
+def _bitmap_jaccard_udf():
+    return _bitmap_overlap_udf("jaccard")
 
 
 def prefix_filtered_jaccard_pairs(
@@ -180,6 +187,8 @@ def _exact_jaccard_verify(
     dfreq: DataFrame | None = None,
     max_bitmap_vocab: int = 1 << 20,
     broadcast_bytes_cap: int = 64 << 20,
+    measure: str = "jaccard",
+    out_col: str | None = None,
 ) -> DataFrame:
     """Exact-Jaccard verification of candidate pairs, shared by the prefix
     and MinHash near-dup paths.
@@ -200,13 +209,19 @@ def _exact_jaccard_verify(
       8-bytes-per-gram arrays; Jaccard = popcount(AND) via a 16-bit LUT,
       ~100x cheaper than the per-pair merge.
     - else: sorted-hash arrays + the vectorized merge kernel.
-    Both paths compute identical integer counts -> identical Jaccard, so
+    Both paths compute identical integer counts -> identical similarity, so
     callers' oracles are representation-independent. The driver-side
     fetches here (doc/gram counts, the vocab-size sketch, and — on the
     bitmap path only — the vocab itself, capped at ``max_bitmap_vocab``
     entries by the decision it serves) are physical-plan decisions plus a
     bounded broadcast build, the same role AQE's runtime statistics play.
+
+    ``measure`` selects the set similarity: 'jaccard' (inter/union,
+    symmetric, unordered pairs) or 'containment' (inter/|a|, asymmetric —
+    the caller supplies ORDERED candidate pairs). ``out_col`` names the
+    similarity column (defaults to the measure name).
     """
+    out_col = out_col or measure
     sc = cands.sparkSession.sparkContext
     cands = cands.repartition(3 * sc.defaultParallelism, "id_a", "id_b")
     e = grams_arr.select("id", F.explode("grams").alias("g"))
@@ -266,22 +281,28 @@ def _exact_jaccard_verify(
         ).localCheckpoint()
         ba = bitmaps.select(F.col("id").alias("id_a"), F.col("bm").alias("bm_a"), F.col("sz").alias("sz_a"))
         bb = bitmaps.select(F.col("id").alias("id_b"), F.col("bm").alias("bm_b"), F.col("sz").alias("sz_b"))
-        jac = _bitmap_jaccard_udf()
+        sim = _bitmap_overlap_udf(measure)
         return (
             cands.join(_maybe_bcast(ba), "id_a")
             .join(_maybe_bcast(bb), "id_b")
-            .withColumn("jaccard", jac(F.col("bm_a"), F.col("bm_b"), F.col("sz_a"), F.col("sz_b")))
-            .where(F.col("jaccard") >= threshold)
-            .select("id_a", "id_b", "jaccard")
+            .withColumn(out_col, sim(F.col("bm_a"), F.col("bm_b"), F.col("sz_a"), F.col("sz_b")))
+            .where(F.col(out_col) >= threshold)
+            .select("id_a", "id_b", out_col)
         )
+    if measure == "containment":
+        from entity_matchers_spark.functions.similarity import containment_hashed_udf
+
+        array_udf = containment_hashed_udf
+    else:
+        array_udf = jaccard_hashed_udf
     ga = grams_arr.select(F.col("id").alias("id_a"), F.col("grams").alias("ga"))
     gb = grams_arr.select(F.col("id").alias("id_b"), F.col("grams").alias("gb"))
     return (
         cands.join(_maybe_bcast(ga), "id_a")
         .join(_maybe_bcast(gb), "id_b")
-        .withColumn("jaccard", jaccard_hashed_udf(F.col("ga"), F.col("gb")))
-        .where(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "jaccard")
+        .withColumn(out_col, array_udf(F.col("ga"), F.col("gb")))
+        .where(F.col(out_col) >= threshold)
+        .select("id_a", "id_b", out_col)
     )
 
 
@@ -622,7 +643,6 @@ def containment_neardup_pairs(
     from pyspark.sql import Window
 
     from entity_matchers_spark.functions.shingles import hashed_shingle_table
-    from entity_matchers_spark.functions.similarity import containment_hashed_udf
 
     if grams_arr is None:
         grams_arr = hashed_shingle_table(df, id_col, text_col, n=n).localCheckpoint()
@@ -644,16 +664,13 @@ def containment_neardup_pairs(
         .select("id_a", "id_b")
         .distinct()
     )
-    sc = cands.sparkSession.sparkContext
-    cands = cands.repartition(3 * sc.defaultParallelism, "id_a", "id_b")
-    ga = grams_arr.select(F.col("id").alias("id_a"), F.col("grams").alias("ga"))
-    gb = grams_arr.select(F.col("id").alias("id_b"), F.col("grams").alias("gb"))
-    return (
-        cands.join(ga, "id_a")
-        .join(gb, "id_b")
-        .withColumn("containment", containment_hashed_udf(F.col("ga"), F.col("gb")))
-        .where(F.col("containment") >= threshold)
-        .select("id_a", "id_b", "containment")
+    # the adaptive verify: bitmap+LUT popcount when the vocabulary is
+    # dense-mappable (the low-vocabulary regime is ALSO where the prefix
+    # filter is weakest and the candidate count largest — exactly when the
+    # ~100x cheaper kernel matters), sorted-array merge otherwise
+    return _exact_jaccard_verify(
+        cands, grams_arr, threshold, dfreq=dfreq,
+        measure="containment", out_col="containment",
     )
 
 
