@@ -306,6 +306,38 @@ def _exact_jaccard_verify(
     )
 
 
+def minhash_band_blocks(
+    grams_arr: DataFrame,
+    num_bands: int = 40,
+    rows_per_band: int = 4,
+    seed: int = 11037,
+) -> DataFrame:
+    """(id, block_id) MinHash band table from a hashed-gram table — the
+    LSH INDEX both the batch near-dup join and the incremental delta probe
+    read. Factored out so one materialization serves every consumer (in
+    production this IS the stored index table, partitioned by band)."""
+    from entity_matchers_spark.functions.hashing import minhash_permutation_params
+
+    num_perm = num_bands * rows_per_band
+    base = grams_arr.select("id", F.explode("grams").alias("hg")).select(
+        "id", (F.col("hg") % MINHASH_PRIME).alias("h")
+    )
+    params = minhash_permutation_params(num_perm, seed)
+    aggs = [
+        F.min((F.lit(a) * F.col("h") + F.lit(b)) % MINHASH_PRIME).alias(f"s{i}")
+        for i, (a, b) in enumerate(params)
+    ]
+    sig = base.groupBy("id").agg(*aggs)
+    keys = []
+    for band in range(num_bands):
+        parts = [F.lit(f"b{band}:")] + [
+            F.concat(F.col(f"s{band * rows_per_band + r}").cast("string"), F.lit("-"))
+            for r in range(rows_per_band)
+        ]
+        keys.append(F.concat(*parts))
+    return sig.select("id", F.explode(F.array(*keys)).alias("block_id"))
+
+
 def minhash_neardup_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -317,6 +349,7 @@ def minhash_neardup_pairs(
     text_cap: int = 10_000,
     seed: int = 11037,
     grams_arr: DataFrame | None = None,
+    blocks: DataFrame | None = None,
 ) -> DataFrame:
     """Near-dup pairs via MinHash-LSH candidates + exact Jaccard verify.
 
@@ -353,31 +386,14 @@ def minhash_neardup_pairs(
     explode simply has no signature row), which also retires the sentinel
     substring filter.
     """
-    from entity_matchers_spark.functions.hashing import minhash_permutation_params
     from entity_matchers_spark.functions.shingles import hashed_shingle_table
 
-    num_perm = num_bands * rows_per_band
     if grams_arr is None:
         grams_arr = hashed_shingle_table(df, id_col, text_col, n=shingle_n, text_cap=text_cap)
         # ONE md5 pass over the corpus; every downstream stage reads these bytes
         grams_arr = grams_arr.localCheckpoint()
-    base = grams_arr.select("id", F.explode("grams").alias("hg")).select(
-        "id", (F.col("hg") % MINHASH_PRIME).alias("h")
-    )
-    params = minhash_permutation_params(num_perm, seed)
-    aggs = [
-        F.min((F.lit(a) * F.col("h") + F.lit(b)) % MINHASH_PRIME).alias(f"s{i}")
-        for i, (a, b) in enumerate(params)
-    ]
-    sig = base.groupBy("id").agg(*aggs)
-    keys = []
-    for band in range(num_bands):
-        parts = [F.lit(f"b{band}:")] + [
-            F.concat(F.col(f"s{band * rows_per_band + r}").cast("string"), F.lit("-"))
-            for r in range(rows_per_band)
-        ]
-        keys.append(F.concat(*parts))
-    blocks = sig.select("id", F.explode(F.array(*keys)).alias("block_id"))
+    if blocks is None:
+        blocks = minhash_band_blocks(grams_arr, num_bands, rows_per_band, seed)
     cands = (
         blocks.alias("l")
         .join(blocks.alias("r"), "block_id")
@@ -686,6 +702,7 @@ def incremental_neardup_pairs(
     text_cap: int = 10_000,
     seed: int = 11037,
     grams_arr: DataFrame | None = None,
+    blocks: DataFrame | None = None,
 ) -> DataFrame:
     """Near-dup pairs INVOLVING NEW DOCUMENTS only: delta×indexed ∪
     delta×delta, never indexed×indexed — the daily-crawl dedup step.
@@ -707,32 +724,15 @@ def incremental_neardup_pairs(
     least one side in the delta; verification makes the result exact given
     banding recall (same 40×4 argument as ``minhash_neardup_pairs``).
     """
-    from entity_matchers_spark.functions.hashing import minhash_permutation_params
     from entity_matchers_spark.functions.shingles import hashed_shingle_table
 
-    num_perm = num_bands * rows_per_band
     if grams_arr is None:
         grams_arr = hashed_shingle_table(df, id_col, text_col, n=shingle_n, text_cap=text_cap)
         grams_arr = grams_arr.localCheckpoint()
-    base = grams_arr.select("id", F.explode("grams").alias("hg")).select(
-        "id", (F.col("hg") % MINHASH_PRIME).alias("h")
-    )
-    params = minhash_permutation_params(num_perm, seed)
-    aggs = [
-        F.min((F.lit(a) * F.col("h") + F.lit(b)) % MINHASH_PRIME).alias(f"s{i}")
-        for i, (a, b) in enumerate(params)
-    ]
-    sig = base.groupBy("id").agg(*aggs)
-    keys = []
-    for band in range(num_bands):
-        parts = [F.lit(f"b{band}:")] + [
-            F.concat(F.col(f"s{band * rows_per_band + r}").cast("string"), F.lit("-"))
-            for r in range(rows_per_band)
-        ]
-        keys.append(F.concat(*parts))
-    # The full band table is the INDEX; the delta's slice of it is the probe.
-    # Materialize once — the probe side is read from it, not re-derived.
-    blocks = sig.select("id", F.explode(F.array(*keys)).alias("block_id")).localCheckpoint()
+    if blocks is None:
+        # The full band table is the INDEX; the delta's slice of it is the
+        # probe. Materialize once — the probe side reads it, not re-derives.
+        blocks = minhash_band_blocks(grams_arr, num_bands, rows_per_band, seed).localCheckpoint()
     # no broadcast hint: the delta can itself be 10^9 rows at target scale;
     # AQE picks broadcast when the id list is actually small
     probe = blocks.join(

@@ -772,6 +772,20 @@ def q_neardup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _neardup_pairs7(spark, sf_dir)
 
 
+def _neardup_blocks7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized MinHash band-key table (the LSH index) over the shared
+    7-gram table — read by both the batch near-dup join and the
+    incremental delta probe, built once."""
+    from entity_matchers_spark.operators.dedup import minhash_band_blocks
+
+    return _er_cached(
+        spark,
+        sf_dir,
+        "neardup_blocks7",
+        lambda: minhash_band_blocks(_doc_grams7(spark, sf_dir)),
+    )
+
+
 def _neardup_pairs7(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Materialized MinHash near-dup pairs (J >= 0.7, 7-gram) — the pair
     table is the shared prefix of `neardup_minhash` and `neardup_resolve`,
@@ -783,7 +797,9 @@ def _neardup_pairs7(spark: SparkSession, sf_dir: str) -> DataFrame:
         sf_dir,
         "neardup_pairs7",
         lambda: minhash_neardup_pairs(
-            _docs(spark, sf_dir), threshold=0.7, grams_arr=_doc_grams7(spark, sf_dir)
+            _docs(spark, sf_dir), threshold=0.7,
+            grams_arr=_doc_grams7(spark, sf_dir),
+            blocks=_neardup_blocks7(spark, sf_dir),
         ),
     )
 
@@ -846,7 +862,9 @@ def q_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
     delta = docs.where(F.col("doc_id") % 5 == 0).select(F.col("doc_id").alias("id"))
     return incremental_neardup_pairs(
-        docs, delta, threshold=0.7, grams_arr=_doc_grams7(spark, sf_dir)
+        docs, delta, threshold=0.7,
+        grams_arr=_doc_grams7(spark, sf_dir),
+        blocks=_neardup_blocks7(spark, sf_dir),
     )
 
 
