@@ -663,7 +663,9 @@ def containment_neardup_pairs(
     if grams_arr is None:
         grams_arr = hashed_shingle_table(df, id_col, text_col, n=n).localCheckpoint()
     e = grams_arr.select("id", "sz", F.explode("grams").alias("g"))
-    dfreq = e.groupBy("g").agg(F.count("*").alias("df"))
+    # read three times (prefix join + verify's vocab count and collect):
+    # materialize the document-frequency table once
+    dfreq = e.groupBy("g").agg(F.count("*").alias("df")).localCheckpoint()
     w = Window.partitionBy("id").orderBy(F.col("df").asc(), F.col("g").asc())
     # epsilon guard as in prefix_filtered_jaccard_pairs: exactly-integral
     # t*sz must not round up and shorten the prefix
