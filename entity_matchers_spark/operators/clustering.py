@@ -37,6 +37,7 @@ def connected_components(
     checkpoint: bool = True,
     steps_per_check: int = 2,
     edges_per_loop_partition: int = 2_000_000,
+    driver_max_edges: int = 200_000,
 ) -> DataFrame:
     """(id, cluster_id) for every node appearing in ``edges``;
     cluster_id = min node id in the component.
@@ -60,7 +61,19 @@ def connected_components(
     iterates on 1 task/stage while a 10^10-edge graph keeps every core.
     Checkpointed frames carry no Catalyst size stats (LogicalRDD defaults
     to "huge"), so without this the loop runs full-width sort-merge joins
-    regardless of actual size."""
+    regardless of actual size.
+
+    Size-adaptive small-graph path: when the materialized edge list holds
+    ≤ ``driver_max_edges`` rows (a few MB — the match graph of a blocked
+    corpus slice, not the corpus), the component labels come from one
+    driver-side union-find over the collected edges instead of the
+    iterative loop: the loop's per-round fixed costs (a checkpoint job +
+    a convergence count + ~8 scheduled stages) dominate BY ORDERS OF
+    MAGNITUDE on small graphs (measured 11 s for a 582-edge graph vs
+    ~0.1 s collected). Identical output by construction — cluster_id is
+    the component-minimum either way — and the distributed loop runs
+    unchanged above the threshold, so the operator stays shape-correct at
+    any scale; the bound plays the same runtime-statistics role as AQE."""
     base = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
     loop_parts: int | None = None
     if checkpoint:
@@ -70,6 +83,8 @@ def connected_components(
         # graph that is the entire LSH-join+verify, doubling its cost.
         base = base.localCheckpoint()
         n_edges = base.count()
+        if n_edges <= driver_max_edges:
+            return _driver_union_find(base)
         sess_parts = int(base.sparkSession.conf.get("spark.sql.shuffle.partitions"))
         loop_parts = min(sess_parts, 1 + n_edges // max(1, edges_per_loop_partition))
         if loop_parts >= sess_parts:
@@ -129,6 +144,47 @@ def connected_components(
         if changed == 0:
             break
     return labels
+
+
+def _driver_union_find(base: DataFrame) -> DataFrame:
+    """(id, cluster_id = component min) for a COLLECTED edge list — the
+    small-graph fast path of :func:`connected_components`. Path-compressed
+    union-find; bounded by ``driver_max_edges`` rows (~MBs) at the caller."""
+    rows = base.collect()
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent.get(root, root) != root:
+            root = parent[root]
+        while parent.get(x, x) != x:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for r in rows:
+        u, v = r[0], r[1]
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            parent[ru] = rv
+        parent.setdefault(u, find(u))
+        parent.setdefault(v, find(v))
+    comp_min: dict = {}
+    nodes = set()
+    for r in rows:
+        nodes.add(r[0]); nodes.add(r[1])
+    for n_ in nodes:
+        root = find(n_)
+        cur = comp_min.get(root)
+        if cur is None or n_ < cur:
+            comp_min[root] = n_
+    out = [(n_, comp_min[find(n_)]) for n_ in sorted(nodes)]
+    from pyspark.sql.types import StructField, StructType
+
+    id_type = base.schema[0].dataType
+    schema = StructType(
+        [StructField("id", id_type), StructField("cluster_id", id_type)]
+    )
+    return base.sparkSession.createDataFrame(out, schema)
 
 
 def clusters_with_singletons(

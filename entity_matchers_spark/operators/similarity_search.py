@@ -230,17 +230,87 @@ def _l2_rounded(a: Column, b: Column) -> Column:
     )
 
 
+_ASSIGN_UDF_MAX_CENTROIDS = 65536
+
+
 def _assign_cells(
     df: DataFrame, cents: DataFrame, id_col: str, vec_col: str, prefix: str, n: int
 ) -> DataFrame:
     """(prefix_id, prefix_vec, prefix_norm, cid): each vector's ``n``
     nearest centroids by 6-dp-rounded L2, ties on centroid id. The norm is
-    computed here, once per vector, so downstream cosines are single-dot."""
+    computed here, once per vector, so downstream cosines are single-dot.
+
+    Two physical paths, value-identical by construction:
+
+    - **vectorized** (centroid count ≤ ~65k, i.e. collectable — true up to
+      ~10^9-vector corpora at the √n-to-n/stride centroid regimes): one
+      Arrow-batched pandas UDF holds the (C, D) centroid matrix and
+      computes all C distances per vector with numpy. The squared-diff
+      accumulation runs as an explicit per-dimension loop (vectorized
+      across CENTROIDS) so the float-add ORDER equals the crossJoin
+      path's sequential ``aggregate`` fold — identical doubles into the
+      rounding step. Rounding emulates Spark's HALF_UP
+      (``floor(x·1e6 + 0.5)``); it can disagree with Spark's
+      repr-based round only when a distance's shortest decimal repr
+      terminates in a 7th-place 5 AND the ×1e6 scaling error crosses
+      the boundary — a measure-zero knife edge the sf gates would
+      surface as a hash mismatch.
+    - **crossJoin + interpreted HOF fold** beyond that cap: the
+      centroid table stays distributed (broadcast), nothing collects.
+      ~40× slower per pair at test scale (HOF lambdas run interpreted per
+      element) but shape-correct at any centroid count.
+    """
     from pyspark.sql import Window
 
     d = df.select(
         F.col(id_col).alias(f"{prefix}_id"), F.col(vec_col).alias(f"{prefix}_vec")
     ).withColumn(f"{prefix}_norm", vector_norm(F.col(f"{prefix}_vec")))
+
+    cent_rows = cents.limit(_ASSIGN_UDF_MAX_CENTROIDS + 1).collect()
+    if len(cent_rows) <= _ASSIGN_UDF_MAX_CENTROIDS:
+        import pandas as pd
+        from pyspark.sql.functions import pandas_udf
+
+        cent_rows.sort(key=lambda r: r["cid"])  # cid-ascending = tiebreak order
+        cids = np.fromiter((r["cid"] for r in cent_rows), dtype=np.int64)
+        C = np.asarray([np.asarray(r["cvec"], dtype=np.float64) for r in cent_rows])
+        sc = df.sparkSession.sparkContext
+        bc = sc.broadcast((cids, C))
+        k = int(n)
+
+        @pandas_udf("array<bigint>")
+        def _nearest(vecs: pd.Series) -> pd.Series:
+            cids_v, cmat = bc.value
+            ncent, dim = cmat.shape
+            kk = min(k, ncent)
+            out = []
+            rows = len(vecs)
+            # vectorized across rows AND centroids; chunk rows so the
+            # (rows, C) temporaries stay ≤ ~64 MB
+            chunk = max(1, (64 << 20) // max(1, ncent * 8))
+            for lo in range(0, rows, chunk):
+                sub = vecs.iloc[lo : lo + chunk]
+                A = np.asarray(
+                    [np.asarray(v, dtype=np.float64) for v in sub]
+                ).reshape(len(sub), dim)
+                acc = np.zeros((len(sub), ncent), dtype=np.float64)
+                for dd in range(dim):  # sequential fold over dims: the same
+                    diff = A[:, dd, None] - cmat[None, :, dd]  # add order as
+                    acc += diff * diff  # the zip_with/aggregate fold
+                # HALF_UP at 6 dp (Spark round semantics), not banker's
+                dist = np.floor(np.sqrt(acc) * 1e6 + 0.5) / 1e6
+                # rank by (dist, cid): cids_v is sorted ascending, so a
+                # STABLE argsort on dist breaks ties on cid automatically
+                idx = np.argsort(dist, axis=1, kind="stable")[:, :kk]
+                for r in range(len(sub)):
+                    out.append(cids_v[idx[r]].astype(np.int64))
+            return pd.Series(out)
+
+        return d.withColumn("_cids", _nearest(F.col(f"{prefix}_vec"))).select(
+            f"{prefix}_id", f"{prefix}_vec", f"{prefix}_norm",
+            F.explode("_cids").alias("cid"),
+        )
+
     w = Window.partitionBy(f"{prefix}_id").orderBy(F.col("_d").asc(), F.col("cid").asc())
     return (
         d.crossJoin(F.broadcast(cents))
