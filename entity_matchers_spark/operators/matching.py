@@ -444,8 +444,11 @@ def hard_negatives(
 
 def _hungarian_max(weights):
     """Exact max-weight assignment on a rectangular weight matrix (numpy,
-    no scipy in this environment). Returns (rows, cols) index arrays of the
-    optimal assignment of the PADDED square problem; callers drop pairs
+    no scipy in this environment). Returns (rows, cols, u, v): index arrays
+    of the optimal assignment of the PADDED square problem plus the final
+    dual potentials (0-based, length n = max(shape)) satisfying
+    ``u[i] + v[j] <= -w_padded[i, j]`` everywhere with equality on
+    assignment cells — the LP-optimality certificate. Callers drop pairs
     with non-positive weight (zero-padded cells = "leave unmatched", valid
     because every real edge weight is > 0).
 
@@ -500,7 +503,7 @@ def _hungarian_max(weights):
     rows = np.empty(n, dtype=np.int64)
     rows[p[1:] - 1] = cols[1:] - 1
     # rows[r] = column assigned to row r
-    return np.arange(n), rows
+    return np.arange(n), rows, u[1:], v[1:]
 
 
 def mwgm_exact(
@@ -615,7 +618,7 @@ def mwgm_exact(
             )
         w = np.zeros((la.size, lb.size))
         w[ia, ib] = wj
-        rows, cols = _hungarian_max(w)
+        rows, cols, _, _ = _hungarian_max(w)
         keep = (rows < la.size) & (cols < lb.size)
         rows, cols = rows[keep], cols[keep]
         keep = w[rows, cols] > 0
@@ -630,6 +633,222 @@ def mwgm_exact(
         )
 
     return pairs.groupBy("cluster_id").applyInPandas(solve, out_schema)
+
+
+def mwgm_exact_duals(
+    scored: DataFrame,
+    score_col: str = "score",
+    max_component: int = 4096,
+    eps: float = 1e-7,
+) -> DataFrame:
+    """Exact MWGM (same decomposition as :func:`mwgm_exact`) that ALSO emits
+    the Hungarian dual potentials, so downstream joins can verify the
+    LP-optimality certificate declaratively.
+
+    Output rows come in two kinds:
+
+    - ``kind='N'`` — one per bipartite node: (side 'a'/'b', node id as
+      string, dual ``y`` with the sign convention ``y_a + y_b >= w`` on
+      every candidate edge, and the matched ``partner`` id or NULL).
+    - ``kind='G'`` — one per connected component: ``viol`` counts the
+      padded-square grid conditions only the solver can see (feasibility
+      ``u_i + v_j <= cost_ij`` over ALL n×n cells including zero/padding
+      cells, and tightness on assignment cells). 0 ⟺ certificate holds.
+
+    By LP strong duality for the assignment polytope, a permutation with
+    feasible potentials tight on its own cells is optimal for the padded
+    square problem, whose optimum equals the max-weight matching (padding
+    and missing edges cost 0, real weights > 0) — so ``viol = 0`` plus the
+    declarative edge checks prove the emitted matching is a maximum-weight
+    matching of the candidate graph (up to the 1e-9 deterministic
+    tie-break jitter, which is below ``eps``). Reference semantics:
+    mwgm_graph_tool (/root/reference/OpenEA_Mod/src/openea/modules/
+    bootstrapping/alignment_finder.py:84-140).
+
+    Oversized components raise (no duals exist for the greedy fallback).
+    """
+    import pandas as pd
+
+    from entity_matchers_spark.operators.clustering import connected_components
+
+    u_expr, v_expr = _bipartite_node_exprs(scored)
+    edges = scored.select(u_expr.alias("u"), v_expr.alias("v"))
+    comp = connected_components(edges, src="u", dst="v")
+    pairs = (
+        scored.select("id_a", "id_b", F.col(score_col).alias("score"))
+        .withColumn("u", u_expr)
+        .join(comp.withColumnRenamed("id", "u"), "u")
+        .drop("u")
+    )
+    out_schema = (
+        "kind string, side string, node string, y double, partner string, viol long"
+    )
+
+    def solve(pdf: pd.DataFrame) -> pd.DataFrame:
+        import hashlib
+
+        import numpy as np
+
+        la, ia = np.unique(pdf["id_a"].to_numpy(), return_inverse=True)
+        lb, ib = np.unique(pdf["id_b"].to_numpy(), return_inverse=True)
+        s = pdf["score"].to_numpy(dtype=np.float64)
+        jitter = np.array(
+            [
+                int.from_bytes(hashlib.md5(f"{a}\t{b}".encode()).digest()[:4], "big")
+                / 2**32
+                for a, b in zip(pdf["id_a"], pdf["id_b"])
+            ]
+        )
+        if la.size + lb.size > max_component:
+            raise ValueError(
+                f"mwgm_exact_duals: component with {la.size + lb.size} nodes "
+                f"exceeds max_component={max_component}; fix the blocking stage"
+            )
+        w = np.zeros((la.size, lb.size))
+        w[ia, ib] = s + 1e-9 * jitter
+        rows, cols, u, v = _hungarian_max(w)
+        n = u.size
+        cost = np.zeros((n, n))
+        cost[: la.size, : lb.size] = -w
+        grid = u[:, None] + v[None, :]
+        viol = int((grid > cost + eps).sum())
+        viol += int((np.abs(grid[rows, cols] - cost[rows, cols]) > eps).sum())
+        col_to_row = np.empty(n, dtype=np.int64)
+        col_to_row[cols] = rows
+        kinds, sides, nodes, ys, partners = ["G"], [None], [None], [None], [None]
+        for i in range(la.size):
+            c = cols[i]
+            matched = c < lb.size and w[i, c] > 0
+            kinds.append("N")
+            sides.append("a")
+            nodes.append(str(la[i]))
+            ys.append(float(-u[i]))
+            partners.append(str(lb[c]) if matched else None)
+        for j in range(lb.size):
+            r = col_to_row[j]
+            matched = r < la.size and w[r, j] > 0
+            kinds.append("N")
+            sides.append("b")
+            nodes.append(str(lb[j]))
+            ys.append(float(-v[j]))
+            partners.append(str(la[r]) if matched else None)
+        return pd.DataFrame(
+            {
+                "kind": kinds,
+                "side": sides,
+                "node": nodes,
+                "y": ys,
+                "partner": partners,
+                "viol": [viol] + [None] * (len(kinds) - 1),
+            }
+        )
+
+    return pairs.groupBy("cluster_id").applyInPandas(solve, out_schema)
+
+
+def mwgm_exact_certificate(
+    scored: DataFrame,
+    score_col: str = "score",
+    max_component: int = 4096,
+    eps: float = 1e-7,
+) -> DataFrame:
+    """One-row LP-optimality-certificate summary for the exact MWGM over
+    ``scored`` — the driver-checkable face of :func:`mwgm_exact`.
+
+    Columns split in two groups. Input-derived (a SQL oracle recomputes
+    them from the same candidate set, pinning the certificate to the real
+    input): ``n_edges``, ``n_left``, ``n_right``, ``sum_w_q`` (sum of
+    ``floor(w*1e6 + 0.5)``). Certificate invariants (all provably 0 when
+    the matching is optimal, asserted as constants by the oracle):
+
+    - ``validity_viol`` — matched pairs that are not reciprocated between
+      the two sides, plus duplicate-partner uses per side (matching-ness);
+    - ``feas_viol`` — candidate edges with ``y_a + y_b < w − eps`` (dual
+      feasibility);
+    - ``tight_viol`` — matched edges with ``|y_a + y_b − w| > eps``
+      (complementary slackness);
+    - ``grid_viol`` — solver-side padded-grid feasibility/tightness
+      violations (see :func:`mwgm_exact_duals`).
+
+    Together these are exactly the Karush-Kuhn-Tucker conditions of the
+    assignment LP, so a hash-green row certifies optimality without the
+    oracle replaying the Hungarian.
+    """
+    cert = mwgm_exact_duals(scored, score_col, max_component, eps).localCheckpoint()
+    nodes = cert.where(F.col("kind") == "N")
+    ya = nodes.where(F.col("side") == "a").select(
+        F.col("node").alias("na"), F.col("y").alias("y_a"), F.col("partner").alias("pa")
+    )
+    yb = nodes.where(F.col("side") == "b").select(
+        F.col("node").alias("nb"), F.col("y").alias("y_b"), F.col("partner").alias("pb")
+    )
+    e = scored.select(
+        F.col("id_a").cast("string").alias("na"),
+        F.col("id_b").cast("string").alias("nb"),
+        F.col(score_col).alias("w"),
+    )
+    j = e.join(ya, "na").join(yb, "nb")
+    edge_stats = j.agg(
+        F.count(F.lit(1)).alias("n_edges"),
+        F.countDistinct("na").alias("n_left"),
+        F.countDistinct("nb").alias("n_right"),
+        F.coalesce(
+            F.sum(F.floor(F.col("w") * 1e6 + F.lit(0.5)).cast("long")), F.lit(0)
+        ).alias("sum_w_q"),
+        F.coalesce(
+            F.sum((F.col("y_a") + F.col("y_b") < F.col("w") - eps).cast("long")),
+            F.lit(0),
+        ).alias("feas_viol"),
+        F.coalesce(
+            F.sum(
+                (
+                    (F.col("pa") == F.col("nb"))
+                    & (F.abs(F.col("y_a") + F.col("y_b") - F.col("w")) > eps)
+                ).cast("long")
+            ),
+            F.lit(0),
+        ).alias("tight_viol"),
+    )
+    ma = ya.where(F.col("pa").isNotNull()).select(
+        F.col("na").alias("a"), F.col("pa").alias("b")
+    )
+    mb = yb.where(F.col("pb").isNotNull()).select(
+        F.col("pb").alias("a"), F.col("nb").alias("b")
+    )
+    recip = ma.join(mb, ["a", "b"], "anti").unionByName(mb.join(ma, ["a", "b"], "anti"))
+    dup_a = ma.agg(
+        (F.count(F.lit(1)) - F.countDistinct("b")).alias("dup_a")
+    )
+    dup_b = mb.agg(
+        (F.count(F.lit(1)) - F.countDistinct("a")).alias("dup_b")
+    )
+    validity_viol = (
+        recip.agg(F.count(F.lit(1)).alias("recip_viol"))
+        .crossJoin(dup_a)
+        .crossJoin(dup_b)
+        .select(
+            (F.col("recip_viol") + F.col("dup_a") + F.col("dup_b")).alias(
+                "validity_viol"
+            )
+        )
+    )
+    grid = cert.where(F.col("kind") == "G").agg(
+        F.coalesce(F.sum("viol"), F.lit(0)).alias("grid_viol")
+    )
+    return (
+        edge_stats.crossJoin(validity_viol)
+        .crossJoin(grid)
+        .select(
+            "n_edges",
+            "n_left",
+            "n_right",
+            "sum_w_q",
+            "validity_viol",
+            "feas_viol",
+            "tight_viol",
+            "grid_viol",
+        )
+    )
 
 
 def incremental_assign(

@@ -2655,14 +2655,51 @@ def q_er_mwgm_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     component via applyInPandas. The input is threshold+top-k filtered
     first — exactly the reference's ``find_alignment`` flow
     (alignment_finder.py:28-77 thresholds and keeps k nearest BEFORE
-    mwgm), which also keeps components small. Optimization objective — no
-    SQL oracle; optimality is pytest-verified against brute force
-    (tests/test_matching_clustering.py)."""
+    mwgm), which also keeps components small.
+
+    Optimality is an optimization objective no SQL engine can replay, so
+    the driver-checkable output is the **LP-optimality certificate** (KKT
+    conditions of the assignment LP): the Hungarian's dual potentials are
+    emitted alongside the matching and joined back to the full candidate
+    set, producing one row of input-derived stats (n_edges / n_left /
+    n_right / sum_w_q — the oracle recomputes these from the same pruned
+    candidate SQL, pinning the certificate to the real input) plus four
+    violation counters (matching validity, dual feasibility
+    ``y_a + y_b >= w``, complementary slackness on matched edges, and the
+    solver-side padded-grid conditions) that are provably 0 iff the
+    matching is optimal — asserted as constants by the oracle. The
+    matching rows themselves are exactness-tested against brute force in
+    tests/test_matching_clustering.py."""
     scored = _er_spark_scores(spark, sf_dir)
     pruned = matching.topk_per_id(matching.threshold_match(scored, 0.5), 5, "a")
-    return matching.mwgm_exact(pruned).select(
-        "id_a", "id_b", F.round("score", 9).alias("score")
-    )
+    return matching.mwgm_exact_certificate(pruned)
+
+
+Q_ER_MWGM_EXACT_SQL = (
+    f"WITH {_er_blocks_sql()}, {_er_pairs_sql()}, {_er_scores_sql()}, "
+    """
+  pruned AS (
+    SELECT id_a, id_b, score FROM (
+      SELECT id_a, id_b, score,
+             row_number() OVER (PARTITION BY id_a
+                                ORDER BY score DESC, id_b ASC) AS rn
+      FROM final_scored WHERE score >= 0.5
+    ) WHERE rn <= 5
+  )
+-- Input-derived columns recomputed independently; the four violation
+-- counters are the KKT conditions of the assignment LP, provably 0 for an
+-- optimal matching (see q_er_mwgm_exact docstring).
+SELECT count(*) AS n_edges,
+       count(DISTINCT id_a) AS n_left,
+       count(DISTINCT id_b) AS n_right,
+       coalesce(sum(CAST(floor(score * 1000000 + 0.5) AS BIGINT)), 0) AS sum_w_q,
+       0 AS validity_viol,
+       0 AS feas_viol,
+       0 AS tight_viol,
+       0 AS grid_viol
+FROM pruned
+"""
+)
 
 
 def q_er_mwgm_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5548,7 +5585,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "segment_dedup": (q_segment_dedup, Q_SEGMENT_DEDUP_SQL),
     "neardup_resolve": (q_neardup_resolve, Q_NEARDUP_RESOLVE_SQL),
     "decontaminate": (q_decontaminate, Q_DECONTAMINATE_SQL),
-    "er_mwgm_exact": (q_er_mwgm_exact, None),
+    "er_mwgm_exact": (q_er_mwgm_exact, Q_ER_MWGM_EXACT_SQL),
     # beyond-reference extras demoted below the reference-parity rows for
     # driver-window priority (judge re-runs the tail locally)
     "hits": (q_hits, Q_HITS_SQL),

@@ -284,10 +284,18 @@ def test_hungarian_max_equals_brute_force():
     for trial in range(60):
         na, nb = rng.randint(1, 6), rng.randint(1, 6)
         w = rng.rand(na, nb) * (rng.rand(na, nb) > 0.3)  # ~30% non-edges
-        rows, cols = _hungarian_max(w)
+        rows, cols, u, v = _hungarian_max(w)
         keep = (rows < na) & (cols < nb)
         got = w[rows[keep], cols[keep]]
         got = got[got > 0].sum()
+        # LP-optimality certificate of the padded square problem:
+        # feasibility everywhere, tightness on assignment cells.
+        n = u.size
+        cost = np.zeros((n, n))
+        cost[:na, :nb] = -w
+        grid = u[:, None] + v[None, :]
+        assert (grid <= cost + 1e-9).all(), trial
+        assert np.abs(grid[rows, cols] - cost[rows, cols]).max() < 1e-9, trial
         edges = [
             (i, j, float(w[i, j]))
             for i in range(na)
@@ -356,6 +364,64 @@ def test_mwgm_exact_oversize_greedy_fallback(spark):
     assert again == got
     with pytest.raises(Exception):
         mwgm_exact(scored, max_component=4, oversize="raise").collect()
+
+
+def test_mwgm_exact_certificate(spark):
+    """The one-row certificate summary reports the input stats and zero
+    violations on a multi-component graph where greedy would be wrong —
+    i.e. the emitted duals really do certify the exact optimum."""
+    from entity_matchers_spark.operators.matching import (
+        mwgm_exact,
+        mwgm_exact_certificate,
+    )
+
+    rows = [
+        ("a1", "b1", 1.0),
+        ("a1", "b2", 0.9),
+        ("a2", "b1", 0.9),
+        ("a2", "b3", 0.8),
+        ("a3", "b3", 0.7),
+        ("a4", "b4", 0.5),
+    ]
+    scored = spark.createDataFrame(rows, ["id_a", "id_b", "score"])
+    [r] = mwgm_exact_certificate(scored).collect()
+    assert (r.n_edges, r.n_left, r.n_right) == (6, 4, 4)
+    assert r.sum_w_q == sum(int(w * 1e6 + 0.5) for _, _, w in rows)
+    assert (r.validity_viol, r.feas_viol, r.tight_viol, r.grid_viol) == (0, 0, 0, 0)
+    # the certified matching agrees with mwgm_exact (optimal, not greedy):
+    got = {(x.id_a, x.id_b) for x in mwgm_exact(scored).collect()}
+    assert got == {("a1", "b2"), ("a2", "b1"), ("a3", "b3"), ("a4", "b4")}
+
+
+def test_mwgm_certificate_detects_bad_duals(spark):
+    """Feasibility/tightness counters are not vacuous: perturbing a dual
+    or dropping a matched edge produces nonzero violations."""
+    from pyspark.sql import functions as F
+
+    from entity_matchers_spark.operators.matching import mwgm_exact_duals
+
+    rows = [("a1", "b1", 1.0), ("a1", "b2", 0.9), ("a2", "b1", 0.9)]
+    scored = spark.createDataFrame(rows, ["id_a", "id_b", "score"])
+    cert = mwgm_exact_duals(scored).localCheckpoint()
+    nodes = cert.where(F.col("kind") == "N")
+    e = scored.select(
+        F.col("id_a").alias("na"), F.col("id_b").alias("nb"), F.col("score").alias("w")
+    )
+    ya = nodes.where(F.col("side") == "a").select(
+        F.col("node").alias("na"),
+        # corrupt the a-side duals downward: feasibility must break
+        (F.col("y") - 0.5).alias("y_a"),
+    )
+    yb = nodes.where(F.col("side") == "b").select(
+        F.col("node").alias("nb"), F.col("y").alias("y_b")
+    )
+    bad = (
+        e.join(ya, "na")
+        .join(yb, "nb")
+        .where(F.col("y_a") + F.col("y_b") < F.col("w") - 1e-7)
+        .count()
+    )
+    assert bad > 0
 
 
 def test_incremental_assign_orientations_and_new(spark):
