@@ -217,16 +217,24 @@ def _centroids(corpus: DataFrame, id_col: str, vec_col: str, centroid_stride: in
 
 
 def _l2_rounded(a: Column, b: Column) -> Column:
-    return F.round(
-        F.sqrt(
-            F.aggregate(
-                F.zip_with(a, b, lambda x, y: (x.cast("double") - y.cast("double"))
-                           * (x.cast("double") - y.cast("double"))),
-                F.lit(0.0),
-                lambda acc, v: acc + v,
+    # HALF_UP at 6 dp via floor(x*1e6 + 0.5)/1e6 — plain IEEE ops, so the
+    # numpy fast path, this fold, and the DuckDB oracle produce identical
+    # doubles (Spark's round() is shortest-decimal-repr based and can
+    # disagree with the scaled-floor device on knife-edge values).
+    return (
+        F.floor(
+            F.sqrt(
+                F.aggregate(
+                    F.zip_with(a, b, lambda x, y: (x.cast("double") - y.cast("double"))
+                               * (x.cast("double") - y.cast("double"))),
+                    F.lit(0.0),
+                    lambda acc, v: acc + v,
+                )
             )
-        ),
-        6,
+            * F.lit(1e6)
+            + F.lit(0.5)
+        )
+        / F.lit(1e6)
     )
 
 
@@ -249,12 +257,10 @@ def _assign_cells(
       accumulation runs as an explicit per-dimension loop (vectorized
       across CENTROIDS) so the float-add ORDER equals the crossJoin
       path's sequential ``aggregate`` fold — identical doubles into the
-      rounding step. Rounding emulates Spark's HALF_UP
-      (``floor(x·1e6 + 0.5)``); it can disagree with Spark's
-      repr-based round only when a distance's shortest decimal repr
-      terminates in a 7th-place 5 AND the ×1e6 scaling error crosses
-      the boundary — a measure-zero knife edge the sf gates would
-      surface as a hash mismatch.
+      rounding step. Both paths (and the SQL oracles) round with the
+      SAME scaled-floor device ``floor(x·1e6 + 0.5)/1e6`` — plain IEEE
+      ops, bit-identical everywhere, no repr-based-round knife edge
+      (parity asserted in tests/test_similarity_search.py).
     - **crossJoin + interpreted HOF fold** beyond that cap: the
       centroid table stays distributed (broadcast), nothing collects.
       ~40× slower per pair at test scale (HOF lambdas run interpreted per

@@ -809,7 +809,8 @@ WITH g AS (
   SELECT doc_id AS id,
          list_distinct([('0x'||substr(md5(substr(t, i, 7)),1,8))::UBIGINT::BIGINT
                         for i in range(1, len(t)-5)]) AS grams
-  FROM (SELECT doc_id, lower(text) AS t FROM documents)
+  -- same 10k-char cap as the Spark side's shared 7-gram table (_doc_grams7)
+  FROM (SELECT doc_id, lower(substr(text, 1, 10000)) AS t FROM documents)
 )
 SELECT a.id AS id_a, b.id AS id_b,
        CASE WHEN len(list_distinct(a.grams || b.grams)) = 0 THEN 0.0
@@ -840,7 +841,8 @@ WITH g AS MATERIALIZED (
   SELECT doc_id AS id,
          list_distinct([('0x'||substr(md5(substr(t, i, 7)),1,8))::UBIGINT::BIGINT
                         for i in range(1, len(t)-5)]) AS grams
-  FROM (SELECT doc_id, lower(text) AS t FROM documents)
+  -- same 10k-char cap as the Spark side's shared 7-gram table (_doc_grams7)
+  FROM (SELECT doc_id, lower(substr(text, 1, 10000)) AS t FROM documents)
 )
 SELECT a.id AS id_a, b.id AS id_b,
        len(list_intersect(a.grams, b.grams)) / len(a.grams)::DOUBLE AS containment
@@ -873,7 +875,8 @@ WITH g AS MATERIALIZED (
   SELECT doc_id AS id,
          list_distinct([('0x'||substr(md5(substr(t, i, 7)),1,8))::UBIGINT::BIGINT
                         for i in range(1, len(t)-5)]) AS grams
-  FROM (SELECT doc_id, lower(text) AS t FROM documents)
+  -- same 10k-char cap as the Spark side's shared 7-gram table (_doc_grams7)
+  FROM (SELECT doc_id, lower(substr(text, 1, 10000)) AS t FROM documents)
 )
 SELECT a.id AS id_a, b.id AS id_b,
        CASE WHEN len(list_distinct(a.grams || b.grams)) = 0 THEN 0.0
@@ -904,7 +907,8 @@ WITH RECURSIVE g AS MATERIALIZED (
   SELECT doc_id AS id,
          list_distinct([('0x'||substr(md5(substr(t, i, 7)),1,8))::UBIGINT::BIGINT
                         for i in range(1, len(t)-5)]) AS grams
-  FROM (SELECT doc_id, lower(text) AS t FROM documents)
+  -- same 10k-char cap as the Spark side's shared 7-gram table (_doc_grams7)
+  FROM (SELECT doc_id, lower(substr(text, 1, 10000)) AS t FROM documents)
 ),
 edges AS MATERIALIZED (
   SELECT a.id AS id_a, b.id AS id_b
@@ -1772,7 +1776,7 @@ lists AS MATERIALIZED (
   SELECT vec_id AS neighbor_id, cid FROM (
     SELECT e.vec_id, c.cid,
            row_number() OVER (PARTITION BY e.vec_id
-                              ORDER BY round(list_distance(e.v, c.cvec), 6) ASC, c.cid ASC) AS rn
+                              ORDER BY (floor(list_distance(e.v, c.cvec) * 1000000 + 0.5) / 1000000) ASC, c.cid ASC) AS rn
     FROM emb e CROSS JOIN cents c
   ) WHERE rn = 1
 ),
@@ -1780,7 +1784,7 @@ probes AS MATERIALIZED (
   SELECT vec_id AS query_id, cid FROM (
     SELECT e.vec_id, c.cid,
            row_number() OVER (PARTITION BY e.vec_id
-                              ORDER BY round(list_distance(e.v, c.cvec), 6) ASC, c.cid ASC) AS rn
+                              ORDER BY (floor(list_distance(e.v, c.cvec) * 1000000 + 0.5) / 1000000) ASC, c.cid ASC) AS rn
     FROM emb e CROSS JOIN cents c
     WHERE e.vec_id % 50 = 0
   ) WHERE rn <= 3
@@ -1841,7 +1845,7 @@ cells AS MATERIALIZED (
   SELECT vec_id AS id, cid FROM (
     SELECT e.vec_id, c.cid,
            row_number() OVER (PARTITION BY e.vec_id
-                              ORDER BY round(list_distance(e.v, c.cvec), 6) ASC, c.cid ASC) AS rn
+                              ORDER BY (floor(list_distance(e.v, c.cvec) * 1000000 + 0.5) / 1000000) ASC, c.cid ASC) AS rn
     FROM emb e CROSS JOIN cents c
   ) WHERE rn <= {nprobe}
 ),
@@ -1890,7 +1894,7 @@ asg AS MATERIALIZED (
   SELECT vec_id AS id, cid FROM (
     SELECT e.vec_id, c.cid,
            row_number() OVER (PARTITION BY e.vec_id
-                              ORDER BY round(list_distance(e.v, c.cvec), 6) ASC,
+                              ORDER BY (floor(list_distance(e.v, c.cvec) * 1000000 + 0.5) / 1000000) ASC,
                                        c.cid ASC) AS rn
     FROM emb e CROSS JOIN cents c
   ) WHERE rn = 1
@@ -5025,18 +5029,23 @@ def _build_fs_em_sql(n_iter: int = 3) -> str:
             f"floor(({num} / ({num} + {den})) * {float(Q)!r} + 0.5)::BIGINT AS gq "
             f"FROM pat, {prev})"
         )
+        # All M-step sums stay exact integers in HUGEINT (BIGINT products
+        # c*gq overflow past ~9.2M pairs) and convert to DOUBLE only at the
+        # same points the Python EM calls float() — round-to-nearest of the
+        # exact integer, so the division is bit-identical at any scale.
         upd = [
-            f"(sum(c * gq)::BIGINT)::DOUBLE / ((SELECT n FROM tot) * {Q})::DOUBLE AS p"
+            f"sum(c::HUGEINT * gq)::DOUBLE"
+            f" / ((SELECT n FROM tot)::HUGEINT * {Q})::DOUBLE AS p"
         ]
         for k in range(K):
             upd.append(
-                f"(sum(CASE WHEN {cols[k]} THEN c * gq ELSE 0 END)::BIGINT + {Q})::DOUBLE"
-                f" / (sum(c * gq)::BIGINT + {2 * Q})::DOUBLE AS m{k}"
+                f"(sum(CASE WHEN {cols[k]} THEN c::HUGEINT * gq ELSE 0 END) + {Q})::DOUBLE"
+                f" / (sum(c::HUGEINT * gq) + {2 * Q})::DOUBLE AS m{k}"
             )
         for k in range(K):
             upd.append(
-                f"(sum(CASE WHEN {cols[k]} THEN c * ({Q} - gq) ELSE 0 END)::BIGINT + {Q})::DOUBLE"
-                f" / (sum(c * ({Q} - gq))::BIGINT + {2 * Q})::DOUBLE AS u{k}"
+                f"(sum(CASE WHEN {cols[k]} THEN c::HUGEINT * ({Q} - gq) ELSE 0 END) + {Q})::DOUBLE"
+                f" / (sum(c::HUGEINT * ({Q} - gq)) + {2 * Q})::DOUBLE AS u{k}"
             )
         ctes.append(f"it{t} AS (SELECT {', '.join(upd)} FROM e{t})")
     fin = f"it{n_iter}"

@@ -16,7 +16,11 @@ def _u(salt: str, doc_id: int) -> float:
 
 
 def _key_q(salt: str, doc_id: int, w: float, quant: int = 10**9) -> int:
-    return round(math.log(_u(salt, doc_id)) / w * quant)
+    # Spark F.round is HALF_UP (half away from zero); Python's round() is
+    # banker's. Emulate HALF_UP explicitly so a key landing exactly on .5
+    # can't make the replay disagree with a correct operator.
+    x = math.log(_u(salt, doc_id)) / w * quant
+    return math.floor(x + 0.5) if x >= 0 else math.ceil(x - 0.5)
 
 
 @pytest.fixture()
