@@ -197,21 +197,38 @@ def hyperplane_bucket_keys_udf(
 
 
 def _centroids(corpus: DataFrame, id_col: str, vec_col: str, centroid_stride: int) -> DataFrame:
-    """Deterministic centroid sample: every ``centroid_stride``-th id.
+    """Deterministic 1-in-``centroid_stride`` centroid sample.
 
     Centroid COUNT therefore grows linearly with the corpus — the property
-    that keeps IVF cell sizes bounded (≈ stride) at any scale. Assumes a
-    dense non-negative numeric id space; raises if the sample comes back
-    empty (string/sparse ids would otherwise silently produce zero rows
+    that keeps IVF cell sizes bounded (≈ stride) at any scale. Integral id
+    columns sample by ``id % stride`` (cheap, and what the SQL oracles
+    replay); any other id type samples by the md5-prefix uniform hash used
+    throughout the repo (``md5(id)[:8] % stride``) — deterministic,
+    engine-portable, and independent of id density, so string/sparse ids
+    need no remapping. Raises if the sample comes back empty (stride
+    larger than the corpus would otherwise silently produce zero rows
     downstream)."""
-    cents = corpus.where(F.col(id_col) % centroid_stride == 0).select(
+    from pyspark.sql.types import ByteType, IntegerType, LongType, ShortType
+
+    if isinstance(
+        corpus.schema[id_col].dataType, (ByteType, ShortType, IntegerType, LongType)
+    ):
+        pred = F.col(id_col) % centroid_stride == 0
+    else:
+        pred = (
+            F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10)
+            .cast("long")
+            % centroid_stride
+            == 0
+        )
+    cents = corpus.where(pred).select(
         F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec")
     )
     if cents.isEmpty():
         raise ValueError(
-            f"IVF centroid sample is empty: no `{id_col}` satisfies "
-            f"id % {centroid_stride} == 0 — centroid selection requires a "
-            "dense numeric id column (remap string ids first)"
+            f"IVF centroid sample is empty: no `{id_col}` hashes to "
+            f"0 mod {centroid_stride} — lower centroid_stride (corpus smaller "
+            "than the stride?)"
         )
     return cents
 
@@ -276,15 +293,25 @@ def _assign_cells(
     if len(cent_rows) <= _ASSIGN_UDF_MAX_CENTROIDS:
         import pandas as pd
         from pyspark.sql.functions import pandas_udf
+        from pyspark.sql.types import ByteType, IntegerType, LongType, ShortType
 
         cent_rows.sort(key=lambda r: r["cid"])  # cid-ascending = tiebreak order
-        cids = np.fromiter((r["cid"] for r in cent_rows), dtype=np.int64)
+        # (Python str sort == Spark UTF8 binary order for valid UTF-8, so the
+        # tie-break matches the crossJoin path for string ids too.)
+        if isinstance(
+            cents.schema["cid"].dataType, (ByteType, ShortType, IntegerType, LongType)
+        ):
+            cids = np.fromiter((r["cid"] for r in cent_rows), dtype=np.int64)
+            ret_type = "array<bigint>"
+        else:
+            cids = np.array([r["cid"] for r in cent_rows], dtype=object)
+            ret_type = "array<string>"
         C = np.asarray([np.asarray(r["cvec"], dtype=np.float64) for r in cent_rows])
         sc = df.sparkSession.sparkContext
         bc = sc.broadcast((cids, C))
         k = int(n)
 
-        @pandas_udf("array<bigint>")
+        @pandas_udf(ret_type)
         def _nearest(vecs: pd.Series) -> pd.Series:
             cids_v, cmat = bc.value
             ncent, dim = cmat.shape
@@ -309,7 +336,7 @@ def _assign_cells(
                 # STABLE argsort on dist breaks ties on cid automatically
                 idx = np.argsort(dist, axis=1, kind="stable")[:, :kk]
                 for r in range(len(sub)):
-                    out.append(cids_v[idx[r]].astype(np.int64))
+                    out.append(list(cids_v[idx[r]]))
             return pd.Series(out)
 
         return d.withColumn("_cids", _nearest(F.col(f"{prefix}_vec"))).select(

@@ -71,6 +71,45 @@ def test_assign_cells_matches_numpy_reference(spark, emb):
     assert got == want
 
 
+def test_ivf_string_ids(spark, monkeypatch):
+    """String ids work end-to-end: centroid sampling falls back to the
+    md5-prefix hash, both assignment paths agree, and the nearest-centroid
+    choice matches a numpy replay of the same rule."""
+    import hashlib
+
+    import entity_matchers_spark.operators.similarity_search as ss
+
+    vecs = {f"doc_{i:03d}": v for (i, v) in _toy_vectors(n=50, seed=5)}
+    emb = spark.createDataFrame(
+        [(k, v) for k, v in vecs.items()], "vec_id string, embedding array<double>"
+    ).localCheckpoint()
+    stride = 5
+    md5pick = lambda s: int(hashlib.md5(s.encode()).hexdigest()[:8], 16) % stride == 0
+    cid_list = sorted(k for k in vecs if md5pick(k))
+    assert cid_list, "fixture must yield a non-empty centroid sample"
+    cents = ss._centroids(emb, "vec_id", "embedding", stride)
+    assert sorted(r.cid for r in cents.collect()) == cid_list
+
+    fast = _collect_assign(ss._assign_cells(emb, cents, "vec_id", "embedding", "x", 2))
+    monkeypatch.setattr(ss, "_ASSIGN_UDF_MAX_CENTROIDS", 0)
+    slow = _collect_assign(ss._assign_cells(emb, cents, "vec_id", "embedding", "x", 2))
+    assert fast == slow
+
+    C = np.vstack([vecs[c] for c in cid_list])
+    nearest = {}
+    for (j, cid) in ss._assign_cells(
+        emb, cents, "vec_id", "embedding", "x", 1
+    ).select("x_id", "cid").collect():
+        nearest[j] = cid
+    for i, v in vecs.items():
+        v = np.asarray(v)
+        acc = np.zeros(len(cid_list))
+        for dd in range(v.size):
+            acc += (v[dd] - C[:, dd]) ** 2
+        d = np.floor(np.sqrt(acc) * 1e6 + 0.5) / 1e6
+        assert nearest[i] == cid_list[int(np.argmin(d))]
+
+
 def test_ivf_topk_recalls_probed_bruteforce(spark, emb):
     """ivf_topk's per-query ranking equals brute-force cosine top-k
     restricted to the probed cells' members (IVF is exact within its
