@@ -645,7 +645,11 @@ def containment_neardup_pairs(
     globally-RAREST grams at least one must be in B — A-prefix joined
     against B's FULL gram postings finds every qualifying ordered pair,
     then the shared pack-sort-bincount kernel verifies the exact count.
-    (No symmetric length filter exists here: B may be arbitrarily larger.)
+    (No symmetric length filter exists here — B may be arbitrarily
+    LARGER — but the one-sided bound |A ∩ B| ≤ |B| still forces
+    |B| ≥ ⌈t|A|⌉, so pairs with a too-small B are dropped pre-verify:
+    on the low-vocabulary worst case this cuts the candidate mass the
+    weak prefix lets through.)
 
     Scale shape: the probe side indexes only prefixes (rare grams by
     construction — stop-gram buckets never form on the A side); the B-side
@@ -674,11 +678,15 @@ def containment_neardup_pairs(
         e.join(dfreq, "g")
         .withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") <= F.col("sz") - min_overlap + 1)
-        .select(F.col("id").alias("id_a"), "g")
+        .select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a"), "g")
     )
     cands = (
-        prefix.join(e.select(F.col("id").alias("id_b"), "g"), "g")
-        .where(F.col("id_a") != F.col("id_b"))
+        prefix.join(e.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b"), "g"), "g")
+        .where(
+            (F.col("id_a") != F.col("id_b"))
+            # |A ∩ B| <= |B| and C >= t needs overlap >= ceil(t|A|)
+            & (F.col("sz_b") >= F.ceil(F.lit(threshold) * F.col("sz_a") - F.lit(1e-9)))
+        )
         .select("id_a", "id_b")
         .distinct()
     )
