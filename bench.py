@@ -58,6 +58,112 @@ def run_registry(spark, sf_dir: str) -> dict[str, float]:
     return times
 
 
+def candidate_growth(spark, sf_small: str, sf_big: str) -> dict:
+    """Scale audit for the dedup/ANN candidate stages: count pre-verify
+    candidates at two scale factors and report each family's growth
+    EXPONENT ``log(c_big/c_small) / log(n_big/n_small)`` (1.0 = linear in
+    corpus size, 2.0 = all-pairs). The 100-TB claims rest on these stages
+    staying ~linear; a silent drift to quadratic would show up here before
+    it shows up as a wall-clock cliff.
+
+    Interpretation key (measured at sf0.01 vs sf0.1): TRUE near-dup mass
+    is linear (exponent ~1.0 — 25→256 minhash pairs), and the candidate
+    RATE (candidates / all pairs) is scale-invariant (~0.06-0.08% for
+    minhash), so candidate COUNTS grow quadratically on this fixture.
+    That is a property of the synthetic corpus, not the operators: doc
+    length and gram vocabulary stay FIXED as sf grows, so the background
+    similarity distribution never thins — the adversarial regime for any
+    rarity-based filter. Real web corpora grow vocabulary with size,
+    which is what drives the rate toward zero and the count toward
+    linear. Both exponents (candidates and true pairs) are reported so
+    the gap — filter headroom — stays auditable; IVF, whose cell count
+    grows with the corpus by construction, stays linear even here.
+    """
+    import math
+
+    from entity_matchers_spark import queries as Q
+    from entity_matchers_spark.operators.dedup import (
+        containment_neardup_pairs,
+        minhash_neardup_pairs,
+        prefix_filtered_jaccard_pairs,
+    )
+    from entity_matchers_spark.operators.similarity_search import ivf_topk
+
+    from pyspark.sql import functions as F
+
+    per_sf: dict[str, dict[str, int]] = {}
+    for sf in (sf_small, sf_big):
+        docs = Q._docs(spark, sf)
+        g = Q._doc_grams7(spark, sf)
+        blocks = Q._neardup_blocks7(spark, sf)
+        emb = Q._read(spark, sf, "embeddings")
+        qs = emb.where(F.col("vec_id") % 50 == 0)
+        per_sf[sf] = {
+            "docs": docs.count(),
+            "emb_rows": emb.count(),
+            "minhash_cands": minhash_neardup_pairs(
+                docs, grams_arr=g, blocks=blocks, candidates_only=True
+            ).count(),
+            "jaccard_cands": prefix_filtered_jaccard_pairs(
+                docs, n=5, threshold=0.7, candidates_only=True
+            ).count(),
+            "containment_cands": containment_neardup_pairs(
+                threshold=0.8, grams_arr=g, candidates_only=True
+            ).count(),
+            "ivf_cands": ivf_topk(
+                emb, qs, k=5, nprobe=3, candidates_only=True
+            ).count(),
+            # true output mass — the floor any candidate scheme must carry
+            # (minhash pairs come from the registry-shared cached table)
+            "minhash_true": Q._neardup_pairs7(spark, sf).count(),
+            "containment_true": containment_neardup_pairs(
+                threshold=0.8, grams_arr=g
+            ).count(),
+        }
+    small, big = per_sf[sf_small], per_sf[sf_big]
+
+    def expo(key: str, base: str) -> float | None:
+        if small[key] == 0 or big[key] == 0 or small[base] == big[base]:
+            return None
+        return round(
+            math.log(big[key] / small[key]) / math.log(big[base] / small[base]), 3
+        )
+
+    def rate(d: dict, key: str) -> float:
+        allp = d["docs"] * (d["docs"] - 1) / 2
+        return round(d[key] / allp, 6) if allp else 0.0
+
+    exps = {
+        "minhash": expo("minhash_cands", "docs"),
+        "jaccard": expo("jaccard_cands", "docs"),
+        "containment": expo("containment_cands", "docs"),
+        "ivf": expo("ivf_cands", "emb_rows"),
+        "minhash_true": expo("minhash_true", "docs"),
+        "containment_true": expo("containment_true", "docs"),
+    }
+    return {
+        "sf_small": _sf_of(sf_small),
+        "sf_big": _sf_of(sf_big),
+        "counts": per_sf,
+        "growth_exponent": exps,
+        "candidate_rate": {
+            s: {k: rate(d, k) for k in ("minhash_cands", "jaccard_cands", "containment_cands")}
+            for s, d in per_sf.items()
+        },
+        # linear_ok judges what the ENGINE controls: true-pair tracking for
+        # the gram families (candidate counts are fixture-quadratic here —
+        # see docstring) and absolute candidate linearity for IVF.
+        "linear_ok": {
+            "minhash_true": exps["minhash_true"] is not None and exps["minhash_true"] <= 1.3,
+            "containment_true": exps["containment_true"] is not None
+            and exps["containment_true"] <= 1.3,
+            "ivf": exps["ivf"] is not None and exps["ivf"] <= 1.3,
+            "candidate_rate_stable": rate(big, "minhash_cands")
+            <= 2 * rate(small, "minhash_cands") + 1e-9,
+        },
+    }
+
+
 def _probe_scoring(master: str, sf_dir: str, repeats: int) -> dict:
     """Child: candidate-pairs-scored/sec at a fixed parallelism level.
 
@@ -232,10 +338,21 @@ def main() -> None:
     ap.add_argument("--probe", metavar="MASTER", default=None)
     ap.add_argument("--repeats", type=int, default=1)
     ap.add_argument("--no-scaling", action="store_true")
+    ap.add_argument("--growth-only", action="store_true")
+    ap.add_argument("--no-growth", action="store_true")
     args = ap.parse_args()
 
     if args.probe:
         print(json.dumps(_probe_scoring(args.probe, args.sf_dir, args.repeats)))
+        return
+
+    if args.growth_only:
+        from entity_matchers_spark.session import get_spark
+
+        spark = get_spark(app_name="bench-growth", master=f"local[{args.cpus}]")
+        small = os.path.join(os.path.dirname(os.path.normpath(args.sf_dir)), "sf0.01")
+        print(json.dumps(candidate_growth(spark, small, args.sf_dir)))
+        spark.stop()
         return
 
     # Scaling probe runs FIRST, on a cold box: the 300+ s registry pass
@@ -285,6 +402,17 @@ def main() -> None:
     t0 = time.time()
     times = run_registry(spark, args.sf_dir)
     total = round(time.time() - t0, 3)
+    growth = None
+    if not args.no_growth:
+        # candidate-stage scale audit (sf0.01 vs the bench sf): cheap —
+        # counts only, no verify stages — and the registry pass above
+        # already warmed every shared table at the big sf
+        small = os.path.join(os.path.dirname(os.path.normpath(args.sf_dir)), "sf0.01")
+        if os.path.isdir(small) and os.path.normpath(small) != os.path.normpath(args.sf_dir):
+            try:
+                growth = candidate_growth(spark, small, args.sf_dir)
+            except Exception as exc:  # noqa: BLE001 - audit must not kill the bench line
+                growth = {"error": str(exc)}
     spark.stop()
 
     result = {
@@ -295,6 +423,8 @@ def main() -> None:
         "sf": _sf_of(args.sf_dir),
         "cpus": args.cpus,
     }
+    if growth is not None:
+        result["growth"] = growth
     if scaling is not None:
         result["scaling"] = scaling
         if peak_pps is not None:

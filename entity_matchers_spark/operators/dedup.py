@@ -118,6 +118,7 @@ def prefix_filtered_jaccard_pairs(
     threshold: float = 0.8,
     max_bitmap_vocab: int = 1 << 20,
     broadcast_bytes_cap: int = 64 << 20,
+    candidates_only: bool = False,
 ) -> DataFrame:
     """EXACT (id_a, id_b, jaccard) for char n-gram Jaccard ≥ threshold via
     positional prefix filtering (the AllPairs/PPJoin bound) — no recall
@@ -174,6 +175,8 @@ def prefix_filtered_jaccard_pairs(
         .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
         .distinct()
     )
+    if candidates_only:
+        return cands
     return _exact_jaccard_verify(
         cands, grams_arr, threshold, dfreq=dfreq,
         max_bitmap_vocab=max_bitmap_vocab, broadcast_bytes_cap=broadcast_bytes_cap,
@@ -350,8 +353,13 @@ def minhash_neardup_pairs(
     seed: int = 11037,
     grams_arr: DataFrame | None = None,
     blocks: DataFrame | None = None,
+    candidates_only: bool = False,
 ) -> DataFrame:
     """Near-dup pairs via MinHash-LSH candidates + exact Jaccard verify.
+
+    ``candidates_only=True`` returns the pre-verify candidate pair set —
+    the quantity whose growth rate the scale audit (bench.py --growth)
+    tracks across scale factors.
 
     ``grams_arr`` optionally supplies an already-MATERIALIZED hashed-gram
     table ``(id, grams, sz)`` with the same shingle/cap semantics, so
@@ -401,6 +409,8 @@ def minhash_neardup_pairs(
         .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
         .distinct()
     )
+    if candidates_only:
+        return cands
     return _exact_jaccard_verify(cands, grams_arr, threshold)
 
 
@@ -628,6 +638,7 @@ def containment_neardup_pairs(
     n: int = 7,
     threshold: float = 0.8,
     grams_arr: DataFrame | None = None,
+    candidates_only: bool = False,
 ) -> DataFrame:
     """EXACT ordered near-containment pairs: (id_a, id_b, containment) with
     C(a→b) = |grams(a) ∩ grams(b)| / |grams(a)| ≥ threshold, a ≠ b.
@@ -690,6 +701,8 @@ def containment_neardup_pairs(
         .select("id_a", "id_b")
         .distinct()
     )
+    if candidates_only:
+        return cands
     # the adaptive verify: bitmap+LUT popcount when the vocabulary is
     # dense-mappable (the low-vocabulary regime is ALSO where the prefix
     # filter is weakest and the candidate count largest — exactly when the

@@ -362,9 +362,12 @@ def ivf_topk(
     centroid_stride: int = 37,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    candidates_only: bool = False,
 ) -> DataFrame:
     """IVF-style ANN: coarse-quantize the corpus into inverted lists, probe
     the ``nprobe`` nearest lists per query, exact cosine top-k within.
+    ``candidates_only=True`` returns the deduped probe-join candidate set
+    (the scale-audit quantity) before scoring.
 
     The standard billion-scale ANN layout (IVF/Faiss family): candidates
     per query ∝ probed-list sizes (≈ nprobe·stride with n/stride
@@ -386,6 +389,8 @@ def ivf_topk(
                 "query_norm", "neighbor_norm")
         .dropDuplicates(["query_id", "neighbor_id"])
     )
+    if candidates_only:
+        return cands.select("query_id", "neighbor_id")
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id").asc())
     return (
         cands.select(
