@@ -141,6 +141,7 @@ def stable_marriage(
     scored: DataFrame,
     max_rounds: int = 100,
     score_col: str = "score",
+    stats: dict | None = None,
 ) -> DataFrame:
     """Suitor-optimal stable matching (distributed Gale–Shapley).
 
@@ -178,6 +179,12 @@ def stable_marriage(
     reference's own cap (100) is the default. Each round is three shuffles
     over a monotonically shrinking pair table, so the operator scales with
     the candidate set, not n².
+
+    Pass ``stats`` (a dict) to record loop telemetry: ``rounds`` taken,
+    per-round ``proposals`` and remaining ``prefs_sizes`` — the monotone
+    shrink + O(longest displacement chain) round count are pinned by an
+    adversarial-chain pytest. Costs one extra count per round; leave None
+    in production.
     """
     wa = Window.partitionBy("id_a").orderBy(F.col(score_col).desc(), F.col("id_b").asc())
     wb = Window.partitionBy("id_b").orderBy(F.col(score_col).desc(), F.col("id_a").asc())
@@ -190,6 +197,10 @@ def stable_marriage(
     engaged: DataFrame | None = None
     w_best_a = Window.partitionBy("id_a").orderBy(F.col("rank_a").asc())
     w_best_b = Window.partitionBy("id_b").orderBy(F.col("rank_b").asc())
+    if stats is not None:
+        stats["rounds"] = 0
+        stats["proposals"] = []
+        stats["prefs_sizes"] = [prefs.count()]
     for _ in range(max_rounds):
         # Every free suitor proposes to their best REMAINING reviewer.
         # ``prefs`` only ever contains entries the reviewer would currently
@@ -209,8 +220,12 @@ def stable_marriage(
             .drop("_rn")
             .localCheckpoint(eager=True)
         )
-        if proposals.count() == 0:
+        n_props = proposals.count()
+        if n_props == 0:
             break
+        if stats is not None:
+            stats["rounds"] += 1
+            stats["proposals"].append(n_props)
         contenders = (
             proposals if engaged is None else proposals.unionByName(engaged)
         )
@@ -233,6 +248,8 @@ def stable_marriage(
             .drop("_cur")
             .localCheckpoint(eager=True)
         )
+        if stats is not None:
+            stats["prefs_sizes"].append(prefs.count())
     if engaged is None:
         return scored.select("id_a", "id_b", score_col).limit(0)
     return engaged.select("id_a", "id_b", score_col)

@@ -366,6 +366,48 @@ def test_mwgm_exact_oversize_greedy_fallback(spark):
         mwgm_exact(scored, max_component=4, oversize="raise").collect()
 
 
+def test_stable_marriage_adversarial_chain(spark):
+    """Worst-case displacement chain: an intruder bumps a_0 from b_0, a_0
+    bumps a_1 from b_1, ... — one displacement per round, the longest
+    trade-up chain the list-shrinking loop can see. Asserts rounds = chain
+    length + 1 (O(k), not O(sum of list lengths)), the preference table
+    shrinks monotonically every round, and the final matching is the
+    fully-shifted suitor-optimal one."""
+    from entity_matchers_spark.operators.matching import stable_marriage
+
+    n = 12
+    rows = [("z", "b00", 0.999)]
+    for i in range(n):
+        # strictly decreasing: w(a_i,b_i) > w(a_i,b_{i+1}) > w(a_{i+1},b_{i+1})
+        rows.append((f"a{i:02d}", f"b{i:02d}", 1.0 - (2 * i + 1) / (10.0 * n)))
+        rows.append((f"a{i:02d}", f"b{i + 1:02d}", 1.0 - (2 * i + 2) / (10.0 * n)))
+    scored = spark.createDataFrame(rows, ["id_a", "id_b", "score"])
+    stats: dict = {}
+    got = {
+        (r.id_a, r.id_b)
+        for r in stable_marriage(scored, stats=stats).collect()
+    }
+    want = {("z", "b00")} | {(f"a{i:02d}", f"b{i + 1:02d}") for i in range(n)}
+    assert got == want
+    # chain of n displacements resolves in n+1 rounds (+1 final empty round
+    # is not counted): O(k) in the chain length k, with 2n+1 list entries
+    assert stats["rounds"] == n + 1, stats
+    sizes = stats["prefs_sizes"]
+    assert all(a > b for a, b in zip(sizes, sizes[1:])), sizes
+    # one proposal per round after the opening volley
+    assert stats["proposals"][0] == n + 1 and all(
+        p == 1 for p in stats["proposals"][1:]
+    ), stats["proposals"]
+    # stability: no blocking pair (edge both endpoints would prefer)
+    match_a = dict(got)
+    match_b = {b: a for a, b in got}
+    score = {(a, b): s for a, b, s in rows}
+    for a, b, s in rows:
+        cur_a = score.get((a, match_a.get(a, ""))) if a in match_a else -1
+        cur_b = score.get((match_b.get(b, ""), b)) if b in match_b else -1
+        assert not (s > cur_a and s > cur_b), (a, b)
+
+
 def test_mwgm_exact_certificate(spark):
     """The one-row certificate summary reports the input stats and zero
     violations on a multi-component graph where greedy would be wrong —
