@@ -523,6 +523,44 @@ def _hungarian_max(weights):
     return np.arange(n), rows, u[1:], v[1:]
 
 
+def _greedy_component_match(ia, ib, wj, n_a, n_b):
+    """Vectorized iterated-mutual-best greedy 1/2-approx matching on one
+    component's edge list (index arrays ``ia``/``ib`` into the component's
+    node labels, jittered weights ``wj``). Each round keeps the
+    mutual-best edges among the still-alive ones (the max alive edge is
+    always mutual-best, so >=1 edge matches per round; jitter removes
+    ties, so rounds are deterministic) and kills every edge touching a
+    matched node. Sparse — no dense matrix. Returns (rows, cols) index
+    arrays of the matched edges' endpoints."""
+    import numpy as np
+
+    alive = np.ones(wj.size, dtype=bool)
+    out_a: list = []
+    out_b: list = []
+    while alive.any():
+        idx = np.flatnonzero(alive)
+        o = idx[np.lexsort((-wj[idx], ia[idx]))]
+        fa = np.ones(o.size, dtype=bool)
+        fa[1:] = ia[o][1:] != ia[o][:-1]
+        best_a = o[fa]
+        o = idx[np.lexsort((-wj[idx], ib[idx]))]
+        fb = np.ones(o.size, dtype=bool)
+        fb[1:] = ib[o][1:] != ib[o][:-1]
+        best_b = o[fb]
+        mutual = np.intersect1d(best_a, best_b)
+        ma, mb = ia[mutual], ib[mutual]
+        out_a.append(ma)
+        out_b.append(mb)
+        hit_a = np.zeros(n_a, dtype=bool)
+        hit_a[ma] = True
+        hit_b = np.zeros(n_b, dtype=bool)
+        hit_b[mb] = True
+        alive &= ~(hit_a[ia] | hit_b[ib])
+    rows = np.concatenate(out_a) if out_a else np.empty(0, dtype=np.int64)
+    cols = np.concatenate(out_b) if out_b else np.empty(0, dtype=np.int64)
+    return rows, cols
+
+
 def mwgm_exact(
     scored: DataFrame,
     score_col: str = "score",
@@ -596,35 +634,7 @@ def mwgm_exact(
                     f"mwgm_exact: component with {la.size + lb.size} nodes exceeds "
                     f"max_component={max_component}; fix the blocking stage"
                 )
-            # Greedy 1/2-approx, fully vectorized: each round keeps the
-            # mutual-best edges among the still-alive ones (the max alive
-            # edge is always mutual-best, so >=1 edge matches per round;
-            # jitter removes ties, so rounds are deterministic) and kills
-            # every edge touching a matched node. Sparse — no dense matrix.
-            alive = np.ones(wj.size, dtype=bool)
-            out_a: list[np.ndarray] = []
-            out_b: list[np.ndarray] = []
-            while alive.any():
-                idx = np.flatnonzero(alive)
-                o = idx[np.lexsort((-wj[idx], ia[idx]))]
-                fa = np.ones(o.size, dtype=bool)
-                fa[1:] = ia[o][1:] != ia[o][:-1]
-                best_a = o[fa]
-                o = idx[np.lexsort((-wj[idx], ib[idx]))]
-                fb = np.ones(o.size, dtype=bool)
-                fb[1:] = ib[o][1:] != ib[o][:-1]
-                best_b = o[fb]
-                mutual = np.intersect1d(best_a, best_b)
-                ma, mb = ia[mutual], ib[mutual]
-                out_a.append(ma)
-                out_b.append(mb)
-                hit_a = np.zeros(la.size, dtype=bool)
-                hit_a[ma] = True
-                hit_b = np.zeros(lb.size, dtype=bool)
-                hit_b[mb] = True
-                alive &= ~(hit_a[ia] | hit_b[ib])
-            rows = np.concatenate(out_a) if out_a else np.empty(0, dtype=np.int64)
-            cols = np.concatenate(out_b) if out_b else np.empty(0, dtype=np.int64)
+            rows, cols = _greedy_component_match(ia, ib, wj, la.size, lb.size)
             lookup = {(int(i), int(j)): float(x) for i, j, x in zip(ia, ib, s)}
             return pd.DataFrame(
                 {
@@ -682,7 +692,14 @@ def mwgm_exact_duals(
     mwgm_graph_tool (/root/reference/OpenEA_Mod/src/openea/modules/
     bootstrapping/alignment_finder.py:84-140).
 
-    Oversized components raise (no duals exist for the greedy fallback).
+    Components larger than ``max_component`` degrade to the greedy
+    1/2-approx (same policy and kernel as :func:`mwgm_exact`): their node
+    rows carry NULL duals, which downstream certificate checks treat as
+    "uncertified" rather than violated — a petabyte job must degrade
+    locally on one pathological block, never abort. The certificate
+    summary exposes the uncertified edge count so the degradation is
+    driver-visible, and the SQL oracle recomputes it independently from
+    the component structure.
     """
     import pandas as pd
 
@@ -717,9 +734,34 @@ def mwgm_exact_duals(
             ]
         )
         if la.size + lb.size > max_component:
-            raise ValueError(
-                f"mwgm_exact_duals: component with {la.size + lb.size} nodes "
-                f"exceeds max_component={max_component}; fix the blocking stage"
+            wj = s + 1e-9 * jitter
+            rows, cols = _greedy_component_match(ia, ib, wj, la.size, lb.size)
+            partner_of_a = {int(r): int(c) for r, c in zip(rows, cols)}
+            partner_of_b = {int(c): int(r) for r, c in zip(rows, cols)}
+            kinds, sides, nodes, ys, partners = [], [], [], [], []
+            for i in range(la.size):
+                kinds.append("N")
+                sides.append("a")
+                nodes.append(str(la[i]))
+                ys.append(None)
+                c = partner_of_a.get(i)
+                partners.append(str(lb[c]) if c is not None else None)
+            for j in range(lb.size):
+                kinds.append("N")
+                sides.append("b")
+                nodes.append(str(lb[j]))
+                ys.append(None)
+                r = partner_of_b.get(j)
+                partners.append(str(la[r]) if r is not None else None)
+            return pd.DataFrame(
+                {
+                    "kind": kinds,
+                    "side": sides,
+                    "node": nodes,
+                    "y": ys,
+                    "partner": partners,
+                    "viol": [None] * len(kinds),
+                }
             )
         w = np.zeros((la.size, lb.size))
         w[ia, ib] = s + 1e-9 * jitter
@@ -790,6 +832,12 @@ def mwgm_exact_certificate(
     Together these are exactly the Karush-Kuhn-Tucker conditions of the
     assignment LP, so a hash-green row certifies optimality without the
     oracle replaying the Hungarian.
+
+    ``uncertified_edges`` counts edges inside components that exceeded
+    ``max_component`` and were greedy-matched without duals (their edges
+    are excluded from the feasibility/slackness counters, never counted
+    as violations) — the oracle recomputes this from the candidate
+    graph's component structure, so silent degradation is impossible.
     """
     cert = mwgm_exact_duals(scored, score_col, max_component, eps).localCheckpoint()
     nodes = cert.where(F.col("kind") == "N")
@@ -825,6 +873,12 @@ def mwgm_exact_certificate(
             ),
             F.lit(0),
         ).alias("tight_viol"),
+        # NULL duals mark greedy-degraded oversized components; null
+        # comparisons above are null -> excluded from the sums, counted here
+        F.coalesce(
+            F.sum((F.col("y_a").isNull() | F.col("y_b").isNull()).cast("long")),
+            F.lit(0),
+        ).alias("uncertified_edges"),
     )
     ma = ya.where(F.col("pa").isNotNull()).select(
         F.col("na").alias("a"), F.col("pa").alias("b")
@@ -864,6 +918,7 @@ def mwgm_exact_certificate(
             "feas_viol",
             "tight_viol",
             "grid_viol",
+            "uncertified_edges",
         )
     )
 

@@ -2673,22 +2673,54 @@ def q_er_mwgm_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     solver-side padded-grid conditions) that are provably 0 iff the
     matching is optimal — asserted as constants by the oracle. The
     matching rows themselves are exactness-tested against brute force in
-    tests/test_matching_clustering.py."""
+    tests/test_matching_clustering.py.
+
+    Components beyond MWGM_MAX_COMPONENT nodes (the sf0.1 candidate graph
+    grows one) degrade to the greedy 1/2-approx without duals; their edge
+    count surfaces as ``uncertified_edges``, which the oracle recomputes
+    from the component structure (recursive-CTE CC), so the degradation
+    is independently checked rather than hidden."""
     scored = _er_spark_scores(spark, sf_dir)
     pruned = matching.topk_per_id(matching.threshold_match(scored, 0.5), 5, "a")
-    return matching.mwgm_exact_certificate(pruned)
+    return matching.mwgm_exact_certificate(pruned, max_component=MWGM_MAX_COMPONENT)
+
+
+MWGM_MAX_COMPONENT = 4096
 
 
 Q_ER_MWGM_EXACT_SQL = (
-    f"WITH {_er_blocks_sql()}, {_er_pairs_sql()}, {_er_scores_sql()}, "
-    """
-  pruned AS (
+    f"WITH RECURSIVE {_er_blocks_sql()}, {_er_pairs_sql()}, {_er_scores_sql()}, "
+    f"""
+  pruned AS MATERIALIZED (
     SELECT id_a, id_b, score FROM (
       SELECT id_a, id_b, score,
              row_number() OVER (PARTITION BY id_a
                                 ORDER BY score DESC, id_b ASC) AS rn
       FROM final_scored WHERE score >= 0.5
     ) WHERE rn <= 5
+  ),
+  -- bipartite connected components of the pruned candidate graph: edges in
+  -- components larger than the solver's max_component degrade to greedy
+  -- (no duals) and must be reported as uncertified by the engine too
+  und AS MATERIALIZED (
+    SELECT 'A:' || CAST(id_a AS VARCHAR) AS u, 'B:' || CAST(id_b AS VARCHAR) AS v FROM pruned
+    UNION
+    SELECT 'B:' || CAST(id_b AS VARCHAR) AS u, 'A:' || CAST(id_a AS VARCHAR) AS v FROM pruned
+  ),
+  reach(u, v) AS (
+    SELECT u, v FROM und
+    UNION
+    SELECT r.u, n.v FROM reach r JOIN und n ON r.v = n.u
+  ),
+  cc AS MATERIALIZED (SELECT u AS node, least(u, min(v)) AS comp FROM reach GROUP BY u),
+  big AS MATERIALIZED (
+    SELECT comp FROM (SELECT comp, count(*) AS nodes FROM cc GROUP BY comp)
+    WHERE nodes > {MWGM_MAX_COMPONENT}
+  ),
+  unc AS (
+    SELECT count(*) AS n FROM pruned p
+    JOIN cc ON cc.node = 'A:' || CAST(p.id_a AS VARCHAR)
+    WHERE cc.comp IN (SELECT comp FROM big)
   )
 -- Input-derived columns recomputed independently; the four violation
 -- counters are the KKT conditions of the assignment LP, provably 0 for an
@@ -2700,7 +2732,8 @@ SELECT count(*) AS n_edges,
        0 AS validity_viol,
        0 AS feas_viol,
        0 AS tight_viol,
-       0 AS grid_viol
+       0 AS grid_viol,
+       (SELECT n FROM unc) AS uncertified_edges
 FROM pruned
 """
 )

@@ -435,6 +435,29 @@ def test_mwgm_exact_certificate(spark):
     assert got == {("a1", "b2"), ("a2", "b1"), ("a3", "b3"), ("a4", "b4")}
 
 
+def test_mwgm_certificate_oversized_degrades_uncertified(spark):
+    """Components beyond max_component greedy-degrade: their edges are
+    counted as uncertified (never as violations), small components stay
+    fully certified, and the output is still a valid matching."""
+    from entity_matchers_spark.operators.matching import mwgm_exact_certificate
+
+    rows = [
+        # 6-node component (oversized at max_component=4)
+        ("a1", "b1", 1.0),
+        ("a1", "b2", 0.9),
+        ("a2", "b1", 0.9),
+        ("a2", "b3", 0.8),
+        ("a3", "b3", 0.7),
+        # small exactly-solved component
+        ("a4", "b4", 0.5),
+    ]
+    scored = spark.createDataFrame(rows, ["id_a", "id_b", "score"])
+    [r] = mwgm_exact_certificate(scored, max_component=4).collect()
+    assert r.n_edges == 6
+    assert r.uncertified_edges == 5  # the whole big component
+    assert (r.validity_viol, r.feas_viol, r.tight_viol, r.grid_viol) == (0, 0, 0, 0)
+
+
 def test_mwgm_certificate_detects_bad_duals(spark):
     """Feasibility/tightness counters are not vacuous: perturbing a dual
     or dropping a matched edge produces nonzero violations."""
