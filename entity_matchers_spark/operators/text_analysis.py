@@ -159,11 +159,17 @@ def repetition_features(
     cost a full-corpus token shuffle at 10^12 docs. A doc with fewer tokens
     than the n-gram width scores 0.0 on that signal.
     """
-    from entity_matchers_spark.functions.shingles import token_shingles, tokens
+    from entity_matchers_spark.functions.shingles import tokens
 
     t = F.col(text_col)
     toks = tokens(t)
-    bigrams = token_shingles(t, n=2, distinct=False)
+    # zipped struct pairs instead of joined strings — same distinct counts
+    # (tokens are whitespace-free), no interpreted per-element slice; see
+    # the identical device in gopher_filter
+    bigrams = F.arrays_zip(
+        F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
+        F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
+    )
     max_count = _max_token_multiplicity(toks)
     return df.select(
         F.col(id_col).alias("id"),
@@ -472,36 +478,48 @@ def winnowing_fingerprints(
     fewer than ``w`` grams emit the min of what they have (one window).
     All integers end to end — engine-exact.
     """
-    grams = char_shingles(F.lower(F.col(text_col)), k, distinct=False)
-    g = df.select(
-        F.col(id_col).alias("id"), F.posexplode(grams).alias("pos", "gram")
-    ).select("id", "pos", stable_hash32(F.col("gram")).alias("h"))
+    # positional explode + row-wise substring instead of a transform-lambda
+    # gram array: every per-gram op stays inside whole-stage codegen (the
+    # same device as shingles.hashed_shingle_table; the lambda form runs
+    # interpreted per element)
+    g = (
+        df.select(F.col(id_col).alias("id"), F.lower(F.col(text_col)).alias("t"))
+        .where(F.length("t") >= k)
+        .select(
+            "id",
+            "t",
+            F.explode(F.sequence(F.lit(0), F.length("t") - k)).alias("pos"),
+        )
+        .select(
+            "id",
+            "pos",
+            stable_hash32(
+                F.col("t").substr(F.col("pos") + F.lit(1), F.lit(k))
+            ).alias("h"),
+        )
+    )
 
+    # Rightmost-min per window in ONE window aggregate: min over the
+    # struct (h, -pos) is lexicographic, so it picks the smallest hash and,
+    # among ties, the largest position — the robust-winnowing rule — with
+    # no join back to the gram rows (the previous equi-join shape was a
+    # second shuffle over the full gram table).
     wspec = Window.partitionBy("id").orderBy("pos").rowsBetween(0, w - 1)
     whole = Window.partitionBy("id")
     wins = g.select(
         "id",
         F.col("pos").alias("start"),
-        F.min("h").over(wspec).alias("win_min"),
+        F.min(F.struct(F.col("h").alias("h"), (-F.col("pos")).alias("np")))
+        .over(wspec)
+        .alias("m"),
         F.count("*").over(whole).alias("n_grams"),
     ).where(
         (F.col("start") <= F.col("n_grams") - w)
         | ((F.col("n_grams") < w) & (F.col("start") == 0))
     )
-
-    sel = (
-        wins.alias("w")
-        .join(
-            g.alias("g"),
-            (F.col("w.id") == F.col("g.id"))
-            & (F.col("g.h") == F.col("w.win_min"))
-            & (F.col("g.pos") >= F.col("w.start"))
-            & (F.col("g.pos") <= F.col("w.start") + (w - 1)),
-        )
-        .groupBy(F.col("w.id").alias("id"), F.col("w.start"), F.col("w.win_min"))
-        .agg(F.max(F.col("g.pos")).alias("pos"))
-    )
-    return sel.select("id", "pos", F.col("win_min").alias("fp")).distinct()
+    return wins.select(
+        "id", (-F.col("m.np")).alias("pos"), F.col("m.h").alias("fp")
+    ).distinct()
 
 
 def gopher_filter(
@@ -543,7 +561,15 @@ def gopher_filter(
     mean_len = F.when(n == 0, F.lit(0.0)).otherwise(
         (n_chars - n + 1) / n.cast("double")
     )
-    bigrams = token_shingles(t, n=2, distinct=False)
+    # bigrams as zipped (w1, w2) struct pairs, NOT joined strings: the
+    # string form needs an interpreted transform-lambda with an O(n) slice
+    # per element (measured 3.6 s alone at sf0.1 vs ~0.2 s for this shape);
+    # tokens contain no whitespace, so struct-distinct counts equal
+    # joined-string-distinct counts exactly.
+    bigrams = F.arrays_zip(
+        F.slice(toks, 1, F.greatest(n - 1, F.lit(0))),
+        F.slice(toks, 2, F.greatest(n - 1, F.lit(0))),
+    )
     top_share = F.when(n <= 0, F.lit(0.0)).otherwise(
         _max_token_multiplicity(toks) / n.cast("double")
     )
