@@ -839,6 +839,10 @@ def mwgm_exact_certificate(
     as violations) — the oracle recomputes this from the candidate
     graph's component structure, so silent degradation is impossible.
     """
+    # the candidate set feeds the CC edge list, the per-component solve AND
+    # the certificate joins below — materialize it once instead of
+    # recomputing the upstream pruning window per consumer
+    scored = scored.localCheckpoint()
     cert = mwgm_exact_duals(scored, score_col, max_component, eps).localCheckpoint()
     nodes = cert.where(F.col("kind") == "N")
     ya = nodes.where(F.col("side") == "a").select(
