@@ -3234,6 +3234,61 @@ FROM documents
 """
 
 
+def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode end to end: each document becomes a 16×16 binary
+    PGM (spec-conformant ``P5`` header + md5-of-text raster, built as
+    Spark binary expressions), the numpy netpbm decoder parses the bytes
+    inside ``mapInPandas``, and the features are exact integer pixel
+    statistics. The oracle recomputes every statistic straight from
+    ``md5(text)`` — it never parses the image — so a decoder offset,
+    header, or reshape bug diverges the values; ``n_bytes`` over the
+    independently re-CONSTRUCTED blob pins the encoder side too. (The
+    payload md5 digest is omitted: DuckDB's md5 has no BLOB overload;
+    the digest path is pytest-covered instead.)"""
+    from entity_matchers_spark.operators.multimodal import (
+        extract_media_features,
+        pgm_media_from_documents,
+    )
+
+    media = pgm_media_from_documents(_docs(spark, sf_dir))
+    feats = extract_media_features(media, real_decode=True)
+    names = ["width", "height", "channels", "mean", "std", "minv", "maxv", "median"]
+    cols = [F.element_at("feature", i + 1).alias(n) for i, n in enumerate(names)]
+    return feats.select("media_id", "mime", "n_bytes", *cols)
+
+
+Q_MULTIMODAL_DECODE_SQL = """
+WITH raster AS (
+  SELECT doc_id,
+         [('0x' || substr(md5(text), 2*i-1, 2))::BIGINT for i in range(1, 17)] AS bs,
+         unhex(md5(text)) AS d
+  FROM documents
+),
+payload AS (
+  SELECT doc_id, bs,
+         ('P5' || chr(10) || '16 16' || chr(10) || '255' || chr(10))::BLOB
+           || d||d||d||d||d||d||d||d||d||d||d||d||d||d||d||d AS p
+  FROM raster
+),
+s AS (
+  SELECT doc_id, octet_length(p) AS nb,
+         list_sum(bs) AS sb,
+         list_sum([x * x for x in bs]) AS sq,
+         list_min(bs) AS mn, list_max(bs) AS mx,
+         list_sort(bs) AS srt
+  FROM payload
+)
+SELECT doc_id AS media_id, 'image/x-portable-graymap' AS mime,
+       nb AS n_bytes,
+       16.0 AS width, 16.0 AS height, 1.0 AS channels,
+       (16 * sb) / 256.0 AS mean,
+       sqrt((256 * (16 * sq) - (16 * sb) * (16 * sb)) / 65536.0) AS std,
+       mn::DOUBLE AS minv, mx::DOUBLE AS maxv,
+       (srt[8] + srt[9]) / 2.0 AS median
+FROM s
+"""
+
+
 def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame-sampling plan for video-style payloads: (media_id, frame_idx)
     every 10th frame, frames co-partitioned with their media id — the
@@ -5628,9 +5683,10 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "length_threshold_tables": (q_length_threshold_tables, Q_LENGTH_THRESHOLD_SQL),
     "name_removal": (q_name_removal, Q_NAME_REMOVAL_SQL),
     "sample_validity": (q_sample_validity, Q_SAMPLE_VALIDITY_SQL),
-    "er_pair_scores": (q_er_pair_scores, Q_ER_PAIR_SCORES_SQL),
+    "multimodal_decode": (q_multimodal_decode, Q_MULTIMODAL_DECODE_SQL),
     "er_stable_marriage": (q_er_stable_marriage, Q_ER_STABLE_MARRIAGE_SQL),
     # -- below the window: driver-green in a prior round, code unchanged
+    "er_pair_scores": (q_er_pair_scores, Q_ER_PAIR_SCORES_SQL),
     "weighted_sample": (q_weighted_sample, Q_WEIGHTED_SAMPLE_SQL),
     "cm_heavy_hitters": (q_cm_heavy_hitters, _build_cm_hh_sql()),
     "cluster_split": (q_cluster_split, _build_cluster_split_sql()),
