@@ -3289,6 +3289,86 @@ FROM s
 """
 
 
+def q_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode end to end: each document becomes a 300-byte
+    spec-conformant RIFF/WAVE 8-bit-PCM mono payload (md5-of-text raster),
+    the numpy RIFF chunk-walker parses it inside ``mapInPandas``, and the
+    features are exact integer sample statistics (mean/RMS of centered
+    amplitude, min/max, strict zero crossings). The oracle recomputes all
+    of them straight from ``md5(text)`` without touching the container, so
+    chunk-offset or sign-convention bugs diverge the values."""
+    from entity_matchers_spark.operators.multimodal import (
+        extract_audio_features,
+        wav_media_from_documents,
+    )
+
+    media = wav_media_from_documents(_docs(spark, sf_dir))
+    feats = extract_audio_features(media)
+    names = ["n_frames", "channels", "rate", "mean_amp", "rms", "minv", "maxv", "zero_crossings"]
+    cols = [F.element_at("feature", i + 1).alias(n) for i, n in enumerate(names)]
+    return feats.select("media_id", "mime", "n_bytes", *cols)
+
+
+Q_AUDIO_DECODE_SQL = """
+WITH b AS (
+  SELECT doc_id,
+         [('0x' || substr(md5(text), 2*i-1, 2))::BIGINT - 128 for i in range(1, 17)] AS a
+  FROM documents
+),
+s AS (
+  SELECT doc_id,
+         list_sum(a) AS sa,
+         list_sum([x * x for x in a]) AS sqa,
+         list_min(a) AS mn, list_max(a) AS mx,
+         len([i for i in range(1, 16) if a[i] * a[i+1] < 0]) AS cin,
+         CASE WHEN a[16] * a[1] < 0 THEN 1 ELSE 0 END AS cb
+  FROM b
+)
+-- digest tiled 16x: 240 in-copy consecutive pairs + 15 copy-boundary pairs
+SELECT doc_id AS media_id, 'audio/wav' AS mime, 300 AS n_bytes,
+       256.0 AS n_frames, 1.0 AS channels, 8000.0 AS rate,
+       (16 * sa) / 256.0 AS mean_amp,
+       sqrt((16 * sqa) / 256.0) AS rms,
+       mn::DOUBLE AS minv, mx::DOUBLE AS maxv,
+       (16 * cin + 15 * cb)::DOUBLE AS zero_crossings
+FROM s
+"""
+
+
+def q_frame_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video frame sampling: each document becomes a 4-frame mono
+    YUV4MPEG2 clip (16×16 luma per frame, raster = md5(text||':'||k)
+    tiled), the numpy y4m parser walks the container inside
+    ``mapInPandas``, keeps every 2nd frame, and emits exact per-frame luma
+    statistics. The oracle recomputes the stats per (doc, sampled frame)
+    from the md5 construction without parsing the container."""
+    from entity_matchers_spark.operators.multimodal import (
+        sample_frame_stats,
+        y4m_media_from_documents,
+    )
+
+    media = y4m_media_from_documents(_docs(spark, sf_dir))
+    return sample_frame_stats(media, every_n=2)
+
+
+Q_FRAME_DECODE_SQL = """
+WITH fr AS (
+  SELECT doc_id, unnest([0, 2]) AS frame_idx FROM documents
+),
+b AS (
+  SELECT doc_id, frame_idx,
+         [('0x' || substr(md5(d.text || ':' || frame_idx), 2*i-1, 2))::BIGINT
+          for i in range(1, 17)] AS bs
+  FROM fr JOIN documents d USING (doc_id)
+)
+SELECT doc_id AS media_id, frame_idx, 4 AS n_frames,
+       (16 * list_sum(bs)) / 256.0 AS mean,
+       list_min(bs)::DOUBLE AS minv,
+       list_max(bs)::DOUBLE AS maxv
+FROM b
+"""
+
+
 def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame-sampling plan for video-style payloads: (media_id, frame_idx)
     every 10th frame, frames co-partitioned with their media id — the
@@ -5682,10 +5762,12 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "er_kfold_eval": (q_er_kfold_eval, Q_ER_KFOLD_SQL),
     "length_threshold_tables": (q_length_threshold_tables, Q_LENGTH_THRESHOLD_SQL),
     "name_removal": (q_name_removal, Q_NAME_REMOVAL_SQL),
-    "sample_validity": (q_sample_validity, Q_SAMPLE_VALIDITY_SQL),
     "multimodal_decode": (q_multimodal_decode, Q_MULTIMODAL_DECODE_SQL),
-    "er_stable_marriage": (q_er_stable_marriage, Q_ER_STABLE_MARRIAGE_SQL),
+    "audio_decode": (q_audio_decode, Q_AUDIO_DECODE_SQL),
+    "frame_decode": (q_frame_decode, Q_FRAME_DECODE_SQL),
     # -- below the window: driver-green in a prior round, code unchanged
+    "sample_validity": (q_sample_validity, Q_SAMPLE_VALIDITY_SQL),
+    "er_stable_marriage": (q_er_stable_marriage, Q_ER_STABLE_MARRIAGE_SQL),
     "er_pair_scores": (q_er_pair_scores, Q_ER_PAIR_SCORES_SQL),
     "weighted_sample": (q_weighted_sample, Q_WEIGHTED_SAMPLE_SQL),
     "cm_heavy_hitters": (q_cm_heavy_hitters, _build_cm_hh_sql()),

@@ -69,6 +69,145 @@ def test_image_features_exact_stats():
     assert med == 10.0  # (10 + 10) / 2
 
 
+def _wav(samples: np.ndarray, rate: int = 8000, bits: int = 8, channels: int = 1,
+         extra_chunk: bytes = b"") -> bytes:
+    data = samples.tobytes()
+    fmt = (
+        (1).to_bytes(2, "little")
+        + channels.to_bytes(2, "little")
+        + rate.to_bytes(4, "little")
+        + (rate * channels * bits // 8).to_bytes(4, "little")
+        + (channels * bits // 8).to_bytes(2, "little")
+        + bits.to_bytes(2, "little")
+    )
+    body = (
+        b"WAVE"
+        + b"fmt " + len(fmt).to_bytes(4, "little") + fmt
+        + extra_chunk
+        + b"data" + len(data).to_bytes(4, "little") + data
+    )
+    return b"RIFF" + len(body).to_bytes(4, "little") + body
+
+
+def test_decode_wav_pcm8_roundtrip():
+    from entity_matchers_spark.operators.multimodal import decode_audio
+
+    rng = np.random.RandomState(5)
+    s = rng.randint(0, 256, size=37, dtype=np.uint8)
+    got, rate = decode_audio(_wav(s))
+    assert rate == 8000 and np.array_equal(got, s)
+
+
+def test_decode_wav_pcm16_stereo_and_chunk_walk():
+    from entity_matchers_spark.operators.multimodal import decode_audio
+
+    rng = np.random.RandomState(6)
+    s = rng.randint(-32768, 32768, size=(20, 2)).astype("<i2")
+    # odd-sized LIST chunk before data: must be skipped WITH its pad byte
+    extra = b"LIST" + (5).to_bytes(4, "little") + b"INFOx" + b"\x00"
+    got, rate = decode_audio(_wav(s.reshape(-1), rate=44100, bits=16,
+                                  channels=2, extra_chunk=extra))
+    assert rate == 44100 and got.shape == (20, 2)
+    assert np.array_equal(got, s)
+
+
+def test_decode_wav_refuses_compressed():
+    from entity_matchers_spark.operators.multimodal import decode_audio
+
+    import pytest as _pytest
+
+    with _pytest.raises(NotImplementedError):
+        decode_audio(b"\xff\xfb\x90\x00mp3")  # MP3 frame header
+    fmt = (85).to_bytes(2, "little") + (1).to_bytes(2, "little") + (8000).to_bytes(4, "little") \
+        + (8000).to_bytes(4, "little") + (1).to_bytes(2, "little") + (8).to_bytes(2, "little")
+    body = b"WAVE" + b"fmt " + len(fmt).to_bytes(4, "little") + fmt \
+        + b"data" + (2).to_bytes(4, "little") + b"ab"
+    with _pytest.raises(NotImplementedError):  # WAVE container, MP3 codec inside
+        decode_audio(b"RIFF" + len(body).to_bytes(4, "little") + body)
+
+
+def test_audio_features_exact():
+    from entity_matchers_spark.operators.multimodal import audio_features
+
+    s = np.array([128, 130, 126, 128, 200], dtype=np.uint8)  # amp 0,2,-2,0,72
+    n_frames, ch, rate, mean, rms, mn, mx, zc = audio_features(s, 8000)
+    assert (n_frames, ch, rate) == (5.0, 1.0, 8000.0)
+    amp = s.astype(np.int64) - 128
+    assert mean == int(amp.sum()) / 5
+    assert rms == float(np.sqrt(int((amp * amp).sum()) / 5))
+    assert (mn, mx) == (-2.0, 72.0)
+    assert zc == 1.0  # only the strict 2 -> -2 flip
+
+
+def _y4m(frames: list[np.ndarray], chroma: str = "mono") -> bytes:
+    h, w = frames[0].shape
+    out = [f"YUV4MPEG2 W{w} H{h} F25:1 Ip A1:1 C{chroma}\n".encode()]
+    for f in frames:
+        out.append(b"FRAME\n")
+        out.append(f.astype(np.uint8).tobytes())
+        if chroma.startswith("420"):
+            out.append(bytes(w * h // 2))  # U+V planes
+    return b"".join(out)
+
+
+def test_decode_y4m_mono_roundtrip():
+    from entity_matchers_spark.operators.multimodal import decode_y4m
+
+    rng = np.random.RandomState(9)
+    frames = [rng.randint(0, 256, (6, 4), dtype=np.uint8) for _ in range(3)]
+    got = decode_y4m(_y4m(frames))
+    assert got.shape == (3, 6, 4)
+    for k in range(3):
+        assert np.array_equal(got[k], frames[k])
+
+
+def test_decode_y4m_420_luma_only():
+    from entity_matchers_spark.operators.multimodal import decode_y4m
+
+    rng = np.random.RandomState(10)
+    frames = [rng.randint(0, 256, (4, 4), dtype=np.uint8) for _ in range(2)]
+    got = decode_y4m(_y4m(frames, chroma="420jpeg"))
+    assert got.shape == (2, 4, 4)
+    for k in range(2):
+        assert np.array_equal(got[k], frames[k])
+
+
+def test_decode_y4m_refusals():
+    from entity_matchers_spark.operators.multimodal import decode_y4m
+
+    with pytest.raises(NotImplementedError):
+        decode_y4m(b"\x00\x00\x00\x18ftypmp42")  # MP4 needs a codec
+    with pytest.raises(ValueError):
+        decode_y4m(b"YUV4MPEG2 W4 H4 Cmono\nFRAME\n\x00\x01")  # truncated
+
+
+def test_sample_frame_stats_spark(spark):
+    """End-to-end: Spark-built y4m clips -> real container parse ->
+    every-2nd-frame stats equal a local replay."""
+    from entity_matchers_spark.operators.multimodal import (
+        decode_y4m,
+        sample_frame_stats,
+        y4m_media_from_documents,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "clip one"), (2, "clip two")], "doc_id long, text string"
+    )
+    media = y4m_media_from_documents(docs)
+    got = {
+        (r.media_id, r.frame_idx): (r.n_frames, r.mean, r.minv, r.maxv)
+        for r in sample_frame_stats(media, every_n=2).collect()
+    }
+    assert set(got) == {(1, 0), (1, 2), (2, 0), (2, 2)}
+    payloads = {r.media_id: bytes(r.payload) for r in media.collect()}
+    for (mid, idx), (nf, mean, mn, mx) in got.items():
+        frames = decode_y4m(payloads[mid])
+        assert nf == frames.shape[0] == 4
+        flat = frames[idx].reshape(-1).astype(np.int64)
+        assert mean == int(flat.sum()) / flat.size
+        assert (mn, mx) == (float(flat.min()), float(flat.max()))
+
+
 def test_extract_media_features_real_decode_spark(spark):
     """End-to-end: Spark-built PGM payloads -> mapInPandas real decode ->
     features equal a local replay; digest is md5 of the exact payload."""
