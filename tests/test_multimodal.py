@@ -208,6 +208,68 @@ def test_sample_frame_stats_spark(spark):
         assert (mn, mx) == (float(flat.min()), float(flat.max()))
 
 
+def test_decoders_roundtrip_hypothesis():
+    """Property: for ANY dimensions, pixel/sample values, header comment
+    placement and chroma mode, encode -> decode is the identity on the
+    payload the decoder claims to support."""
+    from hypothesis import given, settings, strategies as st
+
+    from entity_matchers_spark.operators.multimodal import (
+        decode_audio,
+        decode_image,
+        decode_y4m,
+    )
+
+    dims = st.tuples(st.integers(1, 12), st.integers(1, 12))
+    seeds = st.integers(0, 2**31 - 1)
+
+    @settings(max_examples=60, deadline=None)
+    @given(dims=dims, seed=seeds, color=st.booleans(), comment=st.booleans())
+    def pgm_case(dims, seed, color, comment):
+        h, w = dims
+        rng = np.random.RandomState(seed)
+        shape = (h, w, 3) if color else (h, w)
+        arr = rng.randint(0, 256, size=shape, dtype=np.uint8)
+        magic = b"P6" if color else b"P5"
+        hdr = magic + (b" # c\n" if comment else b"\n") + f"{w} {h}\n255\n".encode()
+        got = decode_image(hdr + arr.tobytes())
+        assert got.shape == shape and np.array_equal(got, arr)
+
+    @settings(max_examples=60, deadline=None)
+    @given(n=st.integers(1, 64), seed=seeds, bits=st.sampled_from([8, 16]),
+           channels=st.integers(1, 2), rate=st.integers(1, 96000))
+    def wav_case(n, seed, bits, channels, rate):
+        rng = np.random.RandomState(seed)
+        if bits == 8:
+            s = rng.randint(0, 256, size=n * channels, dtype=np.uint8)
+        else:
+            s = rng.randint(-32768, 32768, size=n * channels).astype("<i2")
+        got, r = decode_audio(_wav(s, rate=rate, bits=bits, channels=channels))
+        assert r == rate
+        want = s.reshape(-1, channels) if channels > 1 else s
+        assert np.array_equal(got, want)
+
+    @settings(max_examples=40, deadline=None)
+    @given(dims=dims, seed=seeds, nf=st.integers(0, 5), c420=st.booleans())
+    def y4m_case(dims, seed, nf, c420):
+        h, w = dims
+        if c420 and (h % 2 or w % 2):
+            h, w = h + h % 2, w + w % 2  # 420 needs even dims
+        rng = np.random.RandomState(seed)
+        frames = [rng.randint(0, 256, (h, w), dtype=np.uint8) for _ in range(nf)]
+        payload = _y4m(frames or [np.zeros((h, w), np.uint8)], chroma="420" if c420 else "mono")
+        if not frames:
+            payload = payload.split(b"FRAME\n")[0]
+        got = decode_y4m(payload)
+        assert got.shape == (len(frames), h, w)
+        for k, f in enumerate(frames):
+            assert np.array_equal(got[k], f)
+
+    pgm_case()
+    wav_case()
+    y4m_case()
+
+
 def test_extract_media_features_real_decode_spark(spark):
     """End-to-end: Spark-built PGM payloads -> mapInPandas real decode ->
     features equal a local replay; digest is md5 of the exact payload."""
