@@ -188,11 +188,15 @@ def _probe_scoring(master: str, sf_dir: str, repeats: int) -> dict:
     pairs = pairs.localCheckpoint(eager=True)
     n_pairs = pairs.count()
 
-    # Replicate the candidate set until the timed region is compute-dominated
-    # (~6M pairs): at test scale one pass over the raw pairs finishes in
-    # well under a second on 32 cores, which would measure scheduler fixed
-    # costs, not scoring throughput.
-    target = int(os.environ.get("SPARK_GRAFT_PROBE_PAIRS", "6000000"))
+    # Replicate the candidate set until the timed region is compute-dominated:
+    # at test scale one pass over the raw pairs finishes in well under a
+    # second on 32 cores, which would measure scheduler fixed costs, not
+    # scoring throughput. 12M pairs (raised from 6M when the Myers
+    # levenshtein kernel doubled scoring speed): each pass carries ~20 s of
+    # width-independent fixed cost, and a wide pass that only takes ~35 s is
+    # half fixed cost — measured 0.77 "efficiency" at 6M vs 0.82 at 12M on
+    # the same code, the same bias the 3M->6M bump fixed in round 3.
+    target = int(os.environ.get("SPARK_GRAFT_PROBE_PAIRS", "12000000"))
     factor = max(1, -(-target // n_pairs))
     big = pairs.withColumn(
         "rep", F.explode(F.array(*[F.lit(i) for i in range(factor)]))

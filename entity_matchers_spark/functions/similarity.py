@@ -35,6 +35,190 @@ def levenshtein_ratio(a: Column | str, b: Column | str) -> Column:
     )
 
 
+def _myers_distance_batch(pats: "pd.Series", texts: "pd.Series") -> "np.ndarray":
+    """EXACT Levenshtein distances for a batch of string pairs via the
+    bit-parallel Myers/Hyyrö algorithm, vectorized ACROSS PAIRS.
+
+    Classic DP costs O(m·n) cells per pair; Myers packs a DP column into
+    ⌈m/64⌉ machine words and advances it with ~15 word ops per text char —
+    ~64× fewer operations. Here the word ops run as numpy expressions over
+    the whole batch at once (state arrays shaped (batch, blocks)), so the
+    Python interpreter executes ~n_max·blocks statements per BATCH, not
+    per pair. Multi-block carries (the D0 addition's ripple carry and the
+    HP/HN horizontal shift bits) propagate block-by-block per step;
+    per-pair text lengths freeze their lanes via an active mask; the score
+    bit is gathered at each pair's own top block/bit. Distances operate on
+    CODE POINTS (utf-32 view) — the same unit as Spark's ``levenshtein``
+    and DuckDB's — and equality with the JVM builtin is hypothesis-pinned
+    in tests/test_functions.py.
+    """
+    n_pairs = len(pats)
+    out = np.zeros(n_pairs, dtype=np.int64)
+    pa = [("" if p is None else p) for p in pats]
+    tb = [("" if t is None else t) for t in texts]
+    # pattern = the shorter side (distance is symmetric): fewer blocks
+    swap = [len(a) > len(b) for a, b in zip(pa, tb)]
+    pa, tb = (
+        [b if s else a for a, b, s in zip(pa, tb, swap)],
+        [a if s else b for a, b, s in zip(pa, tb, swap)],
+    )
+    mlens = np.fromiter((len(x) for x in pa), dtype=np.int64, count=n_pairs)
+    nlens = np.fromiter((len(x) for x in tb), dtype=np.int64, count=n_pairs)
+    # trivial lanes: empty pattern -> distance = |text|
+    out[mlens == 0] = nlens[mlens == 0]
+    live = np.flatnonzero(mlens > 0)
+    if live.size == 0:
+        return out
+    pa = [pa[i] for i in live]
+    tb = [tb[i] for i in live]
+    mlens = mlens[live]
+    nlens = nlens[live]
+    nb = len(pa)
+    m_max = int(mlens.max())
+    n_max = int(nlens.max())
+    if n_max == 0:  # every live text empty -> distance = |pattern|
+        out[live] = mlens
+        return out
+    B = (m_max + 63) // 64
+
+    def codes(strings, width):
+        arr = np.zeros((len(strings), width), dtype=np.int64)
+        for r, s in enumerate(strings):
+            if s:
+                arr[r, : len(s)] = np.frombuffer(
+                    s.encode("utf-32-le"), dtype=np.uint32
+                ).astype(np.int64)
+        return arr
+
+    pat_uniq, pat_idx = np.unique(np.array(pa, dtype=object), return_inverse=True)
+    pcodes = codes(list(pat_uniq), m_max)
+    tcodes = codes(tb, n_max)
+    # batch-local alphabet over TEXT chars (pattern chars absent from every
+    # text never get probed); pattern positions with foreign chars -> 0 rows
+    vocab = np.unique(tcodes)
+    C = vocab.size
+    pmap = np.searchsorted(vocab, pcodes)
+    np.minimum(pmap, C - 1, out=pmap)
+    pmap[vocab[pmap] != pcodes] = C
+    tmap = np.searchsorted(vocab, tcodes)  # always found (vocab built from texts)
+    P = pat_uniq.size
+    # route padding positions to the sentinel row too, then build Peq with
+    # one sort + bitwise_or.reduceat over linearized (pattern, char, block)
+    # keys — ~6x faster than a bitwise_or.at scatter on these sizes
+    plens = np.fromiter((len(s) for s in pat_uniq), dtype=np.int64, count=P)
+    pmap[np.arange(m_max) >= plens[:, None]] = C
+    pos = np.arange(m_max, dtype=np.int64)
+    key = ((np.arange(P, dtype=np.int64)[:, None] * (C + 1) + pmap) * B + (pos >> 6)).ravel()
+    bit = np.broadcast_to(np.uint64(1) << (pos & 63).astype(np.uint64), (P, m_max)).ravel()
+    order_k = np.argsort(key, kind="stable")
+    key_s = key[order_k]
+    bit_s = bit[order_k]
+    starts = np.flatnonzero(np.r_[True, key_s[1:] != key_s[:-1]])
+    peq = np.zeros(P * (C + 1) * B, dtype=np.uint64)
+    peq[key_s[starts]] = np.bitwise_or.reduceat(bit_s, starts)
+    peq = peq.reshape(P, C + 1, B)
+    peq[:, C, :] = 0  # padding / foreign-char sentinel row
+
+    # Lanes sorted by text length: once j passes a lane's length its state
+    # must freeze — with the sort, "frozen" is a contiguous tail, so each
+    # step simply SHRINKS the working view (no per-step masking at all).
+    order = np.argsort(-nlens, kind="stable")
+    inv_live = live[order]
+    VP = np.full((nb, B), ~np.uint64(0), dtype=np.uint64)
+    VN = np.zeros((nb, B), dtype=np.uint64)
+    score = mlens[order].copy()
+    top_blk = ((mlens[order] - 1) // 64).astype(np.int64)
+    top_bit = (np.uint64(1) << ((mlens[order] - 1) % 64).astype(np.uint64))
+    sel_b = [np.flatnonzero(top_blk == b) for b in range(B)]
+    pat_of = pat_idx[order]
+    tmap = tmap[order]
+    nlens_s = nlens[order]
+    one = np.uint64(1)
+    sixty3 = np.uint64(63)
+    # preallocated scratch (in-place ops: the naive expression form spends
+    # ~40% of the wall allocating 80 KB temporaries 20k times per batch)
+    buf = [np.empty(nb, dtype=np.uint64) for _ in range(6)]
+    cbuf = [np.empty(nb, dtype=bool) for _ in range(2)]
+    n_active = nb
+    for j in range(n_max):
+        while n_active and nlens_s[n_active - 1] <= j:
+            n_active -= 1
+        if n_active == 0:
+            break
+        a = slice(0, n_active)
+        eq_all = peq[pat_of[a], tmap[a, j], :]  # (n_active, B)
+        x, s2, d0, hp, hn, tmpu = (bf[a] for bf in buf)
+        c1, c2 = (cb[a] for cb in cbuf)
+        add_c = np.zeros(n_active, dtype=np.uint64)
+        hp_c = np.full(n_active, one, dtype=np.uint64)  # block 0 shifts in a 1
+        hn_c = np.zeros(n_active, dtype=np.uint64)
+        for b in range(B):
+            eq = eq_all[:, b]
+            vp = VP[a, b]
+            vn = VN[a, b]
+            np.bitwise_and(eq, vp, out=x)
+            np.add(x, vp, out=s2)
+            np.less(s2, x, out=c1)
+            np.add(s2, add_c, out=s2)
+            np.less(s2, add_c, out=c2)  # s2 wrapped below the carry added
+            np.bitwise_or(c1, c2, out=c1)
+            add_c = c1.astype(np.uint64)
+            np.bitwise_xor(s2, vp, out=d0)
+            np.bitwise_or(d0, eq, out=d0)
+            np.bitwise_or(d0, vn, out=d0)
+            np.bitwise_or(d0, vp, out=tmpu)
+            np.bitwise_not(tmpu, out=tmpu)
+            np.bitwise_or(vn, tmpu, out=hp)
+            np.bitwise_and(vp, d0, out=hn)
+            sel = sel_b[b]
+            if sel.size:
+                sel = sel[sel < n_active]
+                if sel.size:
+                    inc = ((hp[sel] & top_bit[sel]) != 0).view(np.int8).astype(
+                        np.int64
+                    ) - ((hn[sel] & top_bit[sel]) != 0).view(np.int8).astype(np.int64)
+                    score[sel] += inc
+            hp_out = hp >> sixty3
+            hn_out = hn >> sixty3
+            np.left_shift(hp, one, out=hp)
+            np.bitwise_or(hp, hp_c, out=hp)
+            np.left_shift(hn, one, out=hn)
+            np.bitwise_or(hn, hn_c, out=hn)
+            hp_c, hn_c = hp_out, hn_out
+            np.bitwise_or(d0, hp, out=tmpu)
+            np.bitwise_not(tmpu, out=tmpu)
+            np.bitwise_or(hn, tmpu, out=VP[a, b])
+            np.bitwise_and(hp, d0, out=VN[a, b])
+    out[inv_live] = score
+    return out
+
+
+def levenshtein_distance_udf():
+    """Arrow-batched EXACT Levenshtein distance (bit-parallel Myers kernel,
+    :func:`_myers_distance_batch`) — the fast path for long-string hot
+    loops where the JVM's O(m·n) DP dominates the stage (the 192-char
+    token-set-ratio feature measured ~64% of the whole scoring pass)."""
+    from pyspark.sql.types import LongType
+
+    @pandas_udf(LongType())
+    def _lev(a: pd.Series, b: pd.Series) -> pd.Series:
+        return pd.Series(_myers_distance_batch(a, b))
+
+    return _lev
+
+
+def levenshtein_ratio_fast(a: Column | str, b: Column | str) -> Column:
+    """Value-identical to :func:`levenshtein_ratio` (the distance is the
+    same exact integer; the ratio expression is unchanged), computed with
+    the batched Myers kernel instead of the JVM DP."""
+    ca = F.col(a) if isinstance(a, str) else a
+    cb = F.col(b) if isinstance(b, str) else b
+    mx = F.greatest(F.length(ca), F.length(cb))
+    return F.when(mx == 0, F.lit(1.0)).otherwise(
+        1.0 - levenshtein_distance_udf()(ca, cb) / mx.cast("double")
+    )
+
+
 def token_set_levenshtein_ratio(a: Column | str, b: Column | str) -> Column:
     """Levenshtein ratio over the sorted deduped token sets.
 

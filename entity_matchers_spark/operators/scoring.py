@@ -31,6 +31,7 @@ from entity_matchers_spark.functions.similarity import (
     jaccard_hashed_udf,
     jaro_winkler_udf,
     levenshtein_ratio,
+    levenshtein_ratio_fast,
 )
 
 DEFAULT_WEIGHTS = {"jw": 0.25, "tslr": 0.3, "jac3": 0.25, "cos": 0.2}
@@ -133,7 +134,7 @@ def score_pairs(
     # levenshtein runs only when the canonical strings actually differ
     # (near-dup-heavy inputs hit the fast branch often)
     tslr = F.when(F.col("canon_a") == F.col("canon_b"), F.lit(1.0)).otherwise(
-        levenshtein_ratio("canon_a", "canon_b")
+        levenshtein_ratio_fast("canon_a", "canon_b")
     )
     scored = joined.select(
         "id_a",

@@ -251,7 +251,7 @@ def _er_spark_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _er_spark_scores_build(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from entity_matchers_spark.functions.similarity import levenshtein_ratio
+    from entity_matchers_spark.functions.similarity import levenshtein_ratio_fast
 
     docs = _docs(spark, sf_dir)
     pairs = _er_spark_pairs(spark, sf_dir)
@@ -292,7 +292,7 @@ def _er_spark_scores_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec").alias("vec_b"), F.col("norm").alias("norm_b"),
     )
     tslr = F.when(F.col("canon_a") == F.col("canon_b"), F.lit(1.0)).otherwise(
-        levenshtein_ratio("canon_a", "canon_b")
+        levenshtein_ratio_fast("canon_a", "canon_b")
     )
     scored = (
         pairs.join(a, "id_a").join(b, "id_b")

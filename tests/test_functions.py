@@ -121,6 +121,41 @@ def test_minhash_signature_pure_python_oracle(spark):
     assert [empty[f"s{i}"] for i in range(3)] == [MINHASH_PRIME] * 3
 
 
+def test_myers_levenshtein_equals_builtin(spark):
+    """The bit-parallel Myers kernel must equal Spark's JVM levenshtein on
+    arbitrary unicode strings (hypothesis) — it is a drop-in physical
+    replacement inside levenshtein_ratio_fast, so any divergence is a
+    correctness bug, not a tuning knob. Covers multi-block patterns
+    (>64/>128 chars), carries, padding lanes and the swap-to-shorter."""
+    from hypothesis import given, settings, strategies as st
+
+    from entity_matchers_spark.functions.similarity import _myers_distance_batch
+
+    text = st.text(
+        alphabet=st.characters(blacklist_categories=("Cs",)), max_size=150
+    )
+    long_text = st.text(alphabet=st.sampled_from("ab x"), min_size=60, max_size=200)
+
+    @settings(max_examples=40, deadline=None)
+    @given(st.lists(st.tuples(text, text) | st.tuples(long_text, long_text),
+                    min_size=1, max_size=30))
+    def case(pairs):
+        import pandas as pd
+
+        a = pd.Series([p[0] for p in pairs])
+        b = pd.Series([p[1] for p in pairs])
+        got = list(_myers_distance_batch(a, b))
+        df = spark.createDataFrame(list(pairs), "a string, b string")
+        from pyspark.sql import functions as F
+
+        want = [
+            r.d for r in df.select(F.levenshtein("a", "b").alias("d")).collect()
+        ]
+        assert got == want
+
+    case()
+
+
 def test_jaro_winkler_vectorized_hypothesis():
     """Property: the numpy-vectorized batch JW is bit-identical to the
     scalar reference on arbitrary unicode-ish strings."""
