@@ -136,6 +136,21 @@ def test_myers_levenshtein_equals_builtin(spark):
     )
     long_text = st.text(alphabet=st.sampled_from("ab x"), min_size=60, max_size=200)
 
+    # null parity: the fast ratio must be null-in -> null-out like the builtin
+    from entity_matchers_spark.functions.similarity import (
+        levenshtein_ratio,
+        levenshtein_ratio_fast,
+    )
+    from pyspark.sql import functions as F
+
+    nulls = spark.createDataFrame(
+        [(None, "abc"), ("abc", None), (None, None), ("", ""), ("ab", "ba")],
+        "a string, b string",
+    )
+    got_f = [r.r for r in nulls.select(levenshtein_ratio_fast("a", "b").alias("r")).collect()]
+    got_n = [r.r for r in nulls.select(levenshtein_ratio("a", "b").alias("r")).collect()]
+    assert got_f == got_n
+
     @settings(max_examples=40, deadline=None)
     @given(st.lists(st.tuples(text, text) | st.tuples(long_text, long_text),
                     min_size=1, max_size=30))
