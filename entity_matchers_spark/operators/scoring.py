@@ -300,16 +300,23 @@ def monge_elkan_scores(
 
     ab = _direction("ta", "me_ab")
     ba = _direction("tb", "me_ba")
-    # me_sym averages the UNROUNDED directions: averaging two 6-dp-rounded
-    # values lands exactly on a .5 half-grid point whenever their 6th
-    # decimals differ in parity, and engines disagree on half-way rounding
+
+    # 6-dp quantization via the scaled-floor device (floor(x*1e6+0.5)/1e6):
+    # the direction means are rationals over small denominators, so both a
+    # direction and their average can land EXACTLY on the 6-dp half grid
+    # (observed at sf0.001: me_sym = 0.7863425), where Spark's repr-based
+    # round and DuckDB's disagree. The device is plain IEEE ops — identical
+    # everywhere given the identical input doubles.
+    def q6(c):
+        return F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+
     return (
         ab.join(ba, ["id_a", "id_b"])
         .select(
             "id_a", "id_b",
-            F.round("me_ab", 6).alias("me_ab"),
-            F.round("me_ba", 6).alias("me_ba"),
-            F.round((F.col("me_ab") + F.col("me_ba")) / 2, 6).alias("me_sym"),
+            q6(F.col("me_ab")).alias("me_ab"),
+            q6(F.col("me_ba")).alias("me_ba"),
+            q6((F.col("me_ab") + F.col("me_ba")) / 2).alias("me_sym"),
         )
     )
 

@@ -5491,8 +5491,9 @@ ba AS (
   FROM mxb GROUP BY 1, 2
 )
 SELECT ab.id_a, ab.id_b,
-       round(me_ab, 6) AS me_ab, round(me_ba, 6) AS me_ba,
-       round((me_ab + me_ba) / 2, 6) AS me_sym
+       floor(me_ab * 1000000 + 0.5) / 1000000 AS me_ab,
+       floor(me_ba * 1000000 + 0.5) / 1000000 AS me_ba,
+       floor((me_ab + me_ba) / 2 * 1000000 + 0.5) / 1000000 AS me_sym
 FROM ab JOIN ba USING (id_a, id_b)
 """
 
@@ -5760,12 +5761,13 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "er_cluster_eval": (q_er_cluster_eval, Q_ER_CLUSTER_EVAL_SQL),
     "repetition_scores": (q_repetition_scores, Q_REPETITION_SQL),
     "er_kfold_eval": (q_er_kfold_eval, Q_ER_KFOLD_SQL),
+    "monge_elkan": (q_monge_elkan, Q_MONGE_ELKAN_SQL),
     "length_threshold_tables": (q_length_threshold_tables, Q_LENGTH_THRESHOLD_SQL),
-    "name_removal": (q_name_removal, Q_NAME_REMOVAL_SQL),
     "multimodal_decode": (q_multimodal_decode, Q_MULTIMODAL_DECODE_SQL),
     "audio_decode": (q_audio_decode, Q_AUDIO_DECODE_SQL),
     "frame_decode": (q_frame_decode, Q_FRAME_DECODE_SQL),
     # -- below the window: driver-green in a prior round, code unchanged
+    "name_removal": (q_name_removal, Q_NAME_REMOVAL_SQL),
     "sample_validity": (q_sample_validity, Q_SAMPLE_VALIDITY_SQL),
     "er_stable_marriage": (q_er_stable_marriage, Q_ER_STABLE_MARRIAGE_SQL),
     "er_pair_scores": (q_er_pair_scores, Q_ER_PAIR_SCORES_SQL),
@@ -5784,7 +5786,6 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "fellegi_sunter": (q_fellegi_sunter, Q_FELLEGI_SUNTER_SQL),
     "stream_enrich": (q_stream_enrich, Q_STREAM_ENRICH_SQL),
     "blocking_quality": (q_blocking_quality, Q_BLOCKING_QUALITY_SQL),
-    "monge_elkan": (q_monge_elkan, Q_MONGE_ELKAN_SQL),
     "golden_records": (q_golden_records, Q_GOLDEN_RECORDS_SQL),
     "gopher_filter": (q_gopher_filter, Q_GOPHER_FILTER_SQL),
     "temperature_mix": (q_temperature_mix, Q_TEMPERATURE_MIX_SQL),
