@@ -5716,7 +5716,6 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     # the coverage criterion; rows below the window all hold a green from a
     # prior round for unchanged code.
 
-    "er_mwgm_exact": (q_er_mwgm_exact, Q_ER_MWGM_EXACT_SQL),
     "hits": (q_hits, Q_HITS_SQL),
     "kn_counts": (q_kn_counts, Q_KN_COUNTS_SQL),
     "tfidf_cosine": (q_tfidf_cosine, Q_TFIDF_COSINE_SQL),
@@ -5736,6 +5735,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "blocking_audit": (q_blocking_audit, Q_BLOCKING_AUDIT_SQL),
     "er_kernel_features": (q_er_kernel_features, Q_ER_KERNEL_SQL),
     "corpus_rollup": (q_corpus_rollup, Q_CORPUS_ROLLUP_SQL),
+    "er_mwgm_exact": (q_er_mwgm_exact, Q_ER_MWGM_EXACT_SQL),
     "containment_neardup": (q_containment_neardup, Q_CONTAINMENT_SQL),
     "incremental_neardup": (q_incremental_neardup, Q_INCREMENTAL_NEARDUP_SQL),
     "neardup_minhash": (q_neardup_minhash, Q_NEARDUP_MINHASH_SQL),
