@@ -2725,15 +2725,18 @@ Q_ER_MWGM_EXACT_SQL = (
 -- Input-derived columns recomputed independently; the four violation
 -- counters are the KKT conditions of the assignment LP, provably 0 for an
 -- optimal matching (see q_er_mwgm_exact docstring).
-SELECT count(*) AS n_edges,
-       count(DISTINCT id_a) AS n_left,
-       count(DISTINCT id_b) AS n_right,
-       coalesce(sum(CAST(floor(score * 1000000 + 0.5) AS BIGINT)), 0) AS sum_w_q,
-       0 AS validity_viol,
-       0 AS feas_viol,
-       0 AS tight_viol,
-       0 AS grid_viol,
-       (SELECT n FROM unc) AS uncertified_edges
+-- Every output column is CAST to BIGINT explicitly: the driver's value
+-- hash is type-sensitive, and without the casts DuckDB types the literal
+-- counters INTEGER and the sum HUGEINT vs Spark's uniform LongType.
+SELECT CAST(count(*) AS BIGINT) AS n_edges,
+       CAST(count(DISTINCT id_a) AS BIGINT) AS n_left,
+       CAST(count(DISTINCT id_b) AS BIGINT) AS n_right,
+       CAST(coalesce(sum(CAST(floor(score * 1000000 + 0.5) AS BIGINT)), 0) AS BIGINT) AS sum_w_q,
+       CAST(0 AS BIGINT) AS validity_viol,
+       CAST(0 AS BIGINT) AS feas_viol,
+       CAST(0 AS BIGINT) AS tight_viol,
+       CAST(0 AS BIGINT) AS grid_viol,
+       CAST((SELECT n FROM unc) AS BIGINT) AS uncertified_edges
 FROM pruned
 """
 )
