@@ -119,15 +119,25 @@ def prefix_filtered_jaccard_pairs(
     max_bitmap_vocab: int = 1 << 20,
     broadcast_bytes_cap: int = 64 << 20,
     candidates_only: bool = False,
+    min_shared: int = 20,
 ) -> DataFrame:
     """EXACT (id_a, id_b, jaccard) for char n-gram Jaccard ≥ threshold via
-    positional prefix filtering (the AllPairs/PPJoin bound) — no recall
-    loss, no stop-gram blow-up.
+    MULTI-prefix filtering (the AllPairs/PPJoin bound extended a la
+    Adapt-Join) — no recall loss, no stop-gram blow-up.
 
-    Every doc indexes only its ``|d| - ceil(t*|d|) + 1`` RAREST grams
-    (global document-frequency ascending, gram value as tie-break): any
-    pair with J ≥ t must share its globally-smallest common gram inside
-    BOTH prefixes, so the prefix-to-prefix equi-join finds every true pair.
+    Every doc indexes its ``|d| - ceil(t*|d|) + l`` RAREST grams with
+    ``l = min_shared`` (global document-frequency ascending, gram value as
+    tie-break): for a pair with J ≥ t, each side has at most
+    ``|d| - ceil(t*|d|)`` non-shared grams, so any ``l`` extra slots must
+    hold shared grams, and the j-th smallest shared gram sits within both
+    extended prefixes — the pair shares at least ``min(l, alpha)`` grams
+    in the prefix-to-prefix equi-join (``alpha`` = the pair's minimum
+    required overlap ``ceil(t/(1+t)*(|A|+|B|))``). Counting join hits per
+    pair and keeping only those with ``cnt >= min(l, alpha)`` is therefore
+    still EXACT, but prunes the one-lucky-rare-gram background pairs a
+    single-prefix filter lets through on low-vocabulary corpora (the
+    measured quadratic regime in the growth audit): sharing one rare gram
+    is common, sharing ``l`` independently is exponentially rarer.
     Stop-grams ("the") are the most frequent grams and thus essentially
     never appear in a prefix — the quadratic bucket the naive gram join
     dies on at web scale simply doesn't form. Candidates are then verified
@@ -156,14 +166,21 @@ def prefix_filtered_jaccard_pairs(
     # below any representable t*sz gap, so non-integral products are
     # unaffected.
     min_overlap = F.ceil(F.lit(threshold) * F.col("sz") - F.lit(1e-9))
+    ell = max(1, int(min_shared))
     prefix = (
         e.join(dfreq, "g")
         .withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") <= F.col("sz") - min_overlap + 1)
+        .where(F.col("rn") <= F.col("sz") - min_overlap + ell)
         .select("id", "sz", "g")
     )
-    # PPJoin length filter (also exact): J >= t forces t*|A| <= |B| and
-    # t*|B| <= |A|, so size-mismatched pairs can be dropped pre-verify
+    # PPJoin length filter (exact): J >= t forces t*|A| <= |B| and
+    # t*|B| <= |A|; then the multi-prefix count filter: a qualifying pair
+    # must share >= min(l, ceil(t/(1+t)*(|A|+|B|))) extended-prefix grams
+    alpha = F.ceil(
+        F.lit(threshold / (1.0 + threshold))
+        * (F.col("sz_a") + F.col("sz_b"))
+        - F.lit(1e-9)
+    )
     cands = (
         prefix.alias("l")
         .join(prefix.alias("r"), "g")
@@ -172,8 +189,15 @@ def prefix_filtered_jaccard_pairs(
             & (F.col("l.sz") * threshold <= F.col("r.sz"))
             & (F.col("r.sz") * threshold <= F.col("l.sz"))
         )
-        .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
-        .distinct()
+        .groupBy(
+            F.col("l.id").alias("id_a"),
+            F.col("r.id").alias("id_b"),
+            F.col("l.sz").alias("sz_a"),
+            F.col("r.sz").alias("sz_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("_shared"))
+        .where(F.col("_shared") >= F.least(F.lit(ell), alpha))
+        .select("id_a", "id_b")
     )
     if candidates_only:
         return cands
@@ -639,6 +663,7 @@ def containment_neardup_pairs(
     threshold: float = 0.8,
     grams_arr: DataFrame | None = None,
     candidates_only: bool = False,
+    min_shared: int = 20,
 ) -> DataFrame:
     """EXACT ordered near-containment pairs: (id_a, id_b, containment) with
     C(a→b) = |grams(a) ∩ grams(b)| / |grams(a)| ≥ threshold, a ≠ b.
@@ -651,11 +676,15 @@ def containment_neardup_pairs(
     recalls high-resemblance pairs only — so a crawl pipeline needs this
     as its own operator, not a Jaccard parameter tweak.
 
-    Exactness via the asymmetric prefix filter (SSJoin/PPJoin family):
-    C(a→b) ≥ t forces |A ∩ B| ≥ ⌈t|A|⌉, so among A's ``|A| − ⌈t|A|⌉ + 1``
-    globally-RAREST grams at least one must be in B — A-prefix joined
-    against B's FULL gram postings finds every qualifying ordered pair,
-    then the shared pack-sort-bincount kernel verifies the exact count.
+    Exactness via the asymmetric MULTI-prefix filter (SSJoin/PPJoin family
+    extended a la Adapt-Join): C(a→b) ≥ t forces |A ∩ B| ≥ ⌈t|A|⌉, i.e. A
+    has at most ``|A| − ⌈t|A|⌉`` non-shared grams, so among A's
+    ``|A| − ⌈t|A|⌉ + l`` globally-RAREST grams (``l = min_shared``) at
+    least ``min(l, ⌈t|A|⌉)`` must be in B — the A-prefix join against B's
+    FULL gram postings COUNTED per ordered pair finds every qualifying
+    pair while dropping the one-lucky-rare-gram background mass a
+    single-gram hit lets through, then the shared pack-sort-bincount
+    kernel verifies the exact count.
     (No symmetric length filter exists here — B may be arbitrarily
     LARGER — but the one-sided bound |A ∩ B| ≤ |B| still forces
     |B| ≥ ⌈t|A|⌉, so pairs with a too-small B are dropped pre-verify:
@@ -685,12 +714,14 @@ def containment_neardup_pairs(
     # epsilon guard as in prefix_filtered_jaccard_pairs: exactly-integral
     # t*sz must not round up and shorten the prefix
     min_overlap = F.ceil(F.lit(threshold) * F.col("sz") - F.lit(1e-9))
+    ell = max(1, int(min_shared))
     prefix = (
         e.join(dfreq, "g")
         .withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") <= F.col("sz") - min_overlap + 1)
+        .where(F.col("rn") <= F.col("sz") - min_overlap + ell)
         .select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a"), "g")
     )
+    alpha = F.ceil(F.lit(threshold) * F.col("sz_a") - F.lit(1e-9))
     cands = (
         prefix.join(e.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b"), "g"), "g")
         .where(
@@ -698,8 +729,10 @@ def containment_neardup_pairs(
             # |A ∩ B| <= |B| and C >= t needs overlap >= ceil(t|A|)
             & (F.col("sz_b") >= F.ceil(F.lit(threshold) * F.col("sz_a") - F.lit(1e-9)))
         )
+        .groupBy("id_a", "id_b", "sz_a")
+        .agg(F.count(F.lit(1)).alias("_shared"))
+        .where(F.col("_shared") >= F.least(F.lit(ell), alpha))
         .select("id_a", "id_b")
-        .distinct()
     )
     if candidates_only:
         return cands

@@ -523,6 +523,120 @@ def _hungarian_max(weights):
     return np.arange(n), rows, u[1:], v[1:]
 
 
+# Components up to this many nodes use the dense padded-square Hungarian
+# (O(n^2) memory, vectorized inner scan); larger ones — up to
+# ``max_component`` — switch to the sparse edge-list kernel below.
+MWGM_DENSE_MAX = 512
+
+
+def _sparse_hungarian_max(ia, ib, wj, nl, nr):
+    """Exact max-weight bipartite matching on ONE component's sparse edge
+    list, with LP dual potentials — the LAPJVsp-shaped path for components
+    too large for the dense O(n^2)-memory kernel but far below the greedy
+    degradation threshold.
+
+    Successive shortest augmenting paths (one Dijkstra per left node over
+    reduced costs) on the min-cost formulation ``c = -w`` with a virtual
+    zero-cost "stay unmatched" dummy per left (dual pinned at 0).  The
+    invariants maintained are exactly the matching-LP KKT conditions the
+    certificate checks:
+
+    - ``ya[i] + yb[j] >= w_ij`` on every edge (dual feasibility),
+    - equality on matched edges (complementary slackness),
+    - ``ya >= 0``, ``yb >= 0``, and ``ya/yb == 0`` on unmatched nodes
+      (node-saturation slackness; free rights never receive a potential
+      update, a left finishing on its dummy ends at exactly 0).
+
+    By weak LP duality those conditions prove the matching is maximum
+    weight, so :func:`mwgm_exact_duals` can certify this path with the
+    same declarative edge checks as the dense one.  Returns
+    ``(match_l, ya, yb)`` with ``match_l[i]`` the matched right index or
+    -1.  Deterministic for distinct (jittered) weights; heap ties break
+    on the right-node index.
+    """
+    import heapq
+
+    import numpy as np
+
+    order = np.argsort(ia, kind="stable")
+    ib_s = ib[order]
+    c_s = -wj[order]
+    indptr = np.zeros(nl + 1, dtype=np.int64)
+    np.add.at(indptr, ia + 1, 1)
+    indptr = np.cumsum(indptr)
+    u = np.zeros(nl)
+    np.minimum.at(u, ia, -wj)  # u[i] = min_j c_ij (< 0): reduced costs >= 0
+    v = np.zeros(nr)
+    match_l = np.full(nl, -1, dtype=np.int64)
+    match_r = np.full(nr, -1, dtype=np.int64)
+    for s in range(nl):
+        if indptr[s] == indptr[s + 1]:
+            u[s] = 0.0  # isolated left: unmatched with zero dual
+            continue
+        dist = np.full(nr, np.inf)
+        finalized = np.zeros(nr, dtype=bool)
+        prev_r = np.full(nr, -1, dtype=np.int64)
+        t_left = {s: 0.0}
+        best_dummy_val, best_dummy_left = -u[s], s
+        heap: list = []
+        lo, hi = indptr[s], indptr[s + 1]
+        nd = c_s[lo:hi] - u[s] - v[ib_s[lo:hi]]
+        for jj, dd in zip(ib_s[lo:hi], nd):
+            if dd < dist[jj]:
+                dist[jj] = dd
+                prev_r[jj] = s
+                heapq.heappush(heap, (dd, int(jj)))
+        target_right = -1
+        target_left = -1
+        while True:
+            while heap and (
+                finalized[heap[0][1]] or heap[0][0] > dist[heap[0][1]]
+            ):
+                heapq.heappop(heap)
+            if not heap or best_dummy_val < heap[0][0]:
+                target_left = best_dummy_left
+                big_d = best_dummy_val
+                break
+            d_j, j = heapq.heappop(heap)
+            finalized[j] = True
+            i2 = match_r[j]
+            if i2 < 0:
+                target_right = j
+                big_d = d_j
+                break
+            t_left[i2] = d_j  # matched edge: reduced cost 0
+            cand = d_j - u[i2]
+            if cand < best_dummy_val:
+                best_dummy_val, best_dummy_left = cand, i2
+            lo, hi = indptr[i2], indptr[i2 + 1]
+            nd = d_j + c_s[lo:hi] - u[i2] - v[ib_s[lo:hi]]
+            for jj, dd in zip(ib_s[lo:hi], nd):
+                if not finalized[jj] and dd < dist[jj]:
+                    dist[jj] = dd
+                    prev_r[jj] = i2
+                    heapq.heappush(heap, (dd, int(jj)))
+        for i2, t in t_left.items():
+            u[i2] += big_d - t
+        fin = finalized & (dist < big_d)
+        v[fin] += dist[fin] - big_d
+        if target_right >= 0:
+            j = target_right
+        elif target_left == s:
+            continue  # s stays unmatched; u[s] just landed exactly on 0
+        else:
+            j = match_l[target_left]
+            match_l[target_left] = -1  # u[target_left] is now exactly 0
+        while True:
+            i2 = prev_r[j]
+            nxt = match_l[i2]
+            match_l[i2] = j
+            match_r[j] = i2
+            if i2 == s:
+                break
+            j = nxt
+    return match_l, -u, -v
+
+
 def _greedy_component_match(ia, ib, wj, n_a, n_b):
     """Vectorized iterated-mutual-best greedy 1/2-approx matching on one
     component's edge list (index arrays ``ia``/``ib`` into the component's
@@ -564,7 +678,7 @@ def _greedy_component_match(ia, ib, wj, n_a, n_b):
 def mwgm_exact(
     scored: DataFrame,
     score_col: str = "score",
-    max_component: int = 4096,
+    max_component: int = 50_000,
     oversize: str = "greedy",
 ) -> DataFrame:
     """EXACT max-weight bipartite matching over the blocked candidate set.
@@ -643,6 +757,20 @@ def mwgm_exact(
                     "score": [lookup[(int(i), int(j))] for i, j in zip(rows, cols)],
                 }
             )
+        if la.size + lb.size > MWGM_DENSE_MAX:
+            # too big for an O(n^2)-memory dense grid, still exact: sparse
+            # successive-shortest-paths on the component's edge list
+            ml, _ya, _yb = _sparse_hungarian_max(ia, ib, wj, la.size, lb.size)
+            rows = np.flatnonzero(ml >= 0)
+            cols = ml[rows]
+            lookup = {(int(i), int(j)): float(x) for i, j, x in zip(ia, ib, s)}
+            return pd.DataFrame(
+                {
+                    "id_a": la[rows],
+                    "id_b": lb[cols],
+                    "score": [lookup[(int(i), int(j))] for i, j in zip(rows, cols)],
+                }
+            )
         w = np.zeros((la.size, lb.size))
         w[ia, ib] = wj
         rows, cols, _, _ = _hungarian_max(w)
@@ -665,7 +793,7 @@ def mwgm_exact(
 def mwgm_exact_duals(
     scored: DataFrame,
     score_col: str = "score",
-    max_component: int = 4096,
+    max_component: int = 50_000,
     eps: float = 1e-7,
 ) -> DataFrame:
     """Exact MWGM (same decomposition as :func:`mwgm_exact`) that ALSO emits
@@ -763,6 +891,50 @@ def mwgm_exact_duals(
                     "viol": [None] * len(kinds),
                 }
             )
+        if la.size + lb.size > MWGM_DENSE_MAX:
+            # sparse exact path: duals come straight from the SSP solver and
+            # already satisfy the matching-LP KKT form the declarative checks
+            # use; ``viol`` counts the node-side conditions only the solver
+            # sees (ya/yb >= 0, exactly 0 on unmatched nodes) — together
+            # with the edge-level feasibility/tightness joins these are the
+            # complete optimality certificate (weak LP duality)
+            ml, ya_, yb_ = _sparse_hungarian_max(
+                ia, ib, s + 1e-9 * jitter, la.size, lb.size
+            )
+            match_of_r = {int(ml[i]): i for i in range(la.size) if ml[i] >= 0}
+            viol = int((ya_ < -eps).sum()) + int((yb_ < -eps).sum())
+            viol += sum(
+                1 for i in range(la.size) if ml[i] < 0 and abs(ya_[i]) > eps
+            )
+            viol += sum(
+                1
+                for j in range(lb.size)
+                if j not in match_of_r and abs(yb_[j]) > eps
+            )
+            kinds, sides, nodes, ys, partners = ["G"], [None], [None], [None], [None]
+            for i in range(la.size):
+                kinds.append("N")
+                sides.append("a")
+                nodes.append(str(la[i]))
+                ys.append(float(ya_[i]))
+                partners.append(str(lb[ml[i]]) if ml[i] >= 0 else None)
+            for j in range(lb.size):
+                kinds.append("N")
+                sides.append("b")
+                nodes.append(str(lb[j]))
+                ys.append(float(yb_[j]))
+                r = match_of_r.get(j)
+                partners.append(str(la[r]) if r is not None else None)
+            return pd.DataFrame(
+                {
+                    "kind": kinds,
+                    "side": sides,
+                    "node": nodes,
+                    "y": ys,
+                    "partner": partners,
+                    "viol": [viol] + [None] * (len(kinds) - 1),
+                }
+            )
         w = np.zeros((la.size, lb.size))
         w[ia, ib] = s + 1e-9 * jitter
         rows, cols, u, v = _hungarian_max(w)
@@ -808,7 +980,7 @@ def mwgm_exact_duals(
 def mwgm_exact_certificate(
     scored: DataFrame,
     score_col: str = "score",
-    max_component: int = 4096,
+    max_component: int = 50_000,
     eps: float = 1e-7,
 ) -> DataFrame:
     """One-row LP-optimality-certificate summary for the exact MWGM over

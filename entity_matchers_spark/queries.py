@@ -2685,7 +2685,7 @@ def q_er_mwgm_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return matching.mwgm_exact_certificate(pruned, max_component=MWGM_MAX_COMPONENT)
 
 
-MWGM_MAX_COMPONENT = 4096
+MWGM_MAX_COMPONENT = 50_000
 
 
 Q_ER_MWGM_EXACT_SQL = (

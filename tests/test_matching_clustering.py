@@ -638,3 +638,82 @@ def test_fellegi_sunter_em_separates_mixture(spark):
     assert params2 == params
     got2 = {r.pair_id: (r.fs_weight, r.match_prob) for r in out2.collect()}
     assert got2 == {k: (r.fs_weight, r.match_prob) for k, r in got.items()}
+
+
+def test_sparse_hungarian_equals_dense_with_kkt_duals():
+    """The sparse successive-shortest-paths kernel must (1) find the same
+    optimal weight as the dense padded-square Hungarian and (2) emit duals
+    satisfying the full matching-LP KKT set the certificate relies on:
+    feasibility on every edge, tightness on matched edges, nonnegativity,
+    and exact zero on unmatched nodes."""
+    import numpy as np
+
+    from entity_matchers_spark.operators.matching import (
+        _hungarian_max,
+        _sparse_hungarian_max,
+    )
+
+    rng = np.random.RandomState(11)
+    for trial in range(120):
+        nl, nr = rng.randint(1, 10), rng.randint(1, 10)
+        dense = rng.rand(nl, nr) * (rng.rand(nl, nr) > 0.4)
+        ia, ib = np.nonzero(dense)
+        if ia.size == 0:
+            continue
+        w = dense[ia, ib]
+        rows, cols, _, _ = _hungarian_max(dense)
+        keep = (rows < nl) & (cols < nr)
+        ref = dense[rows[keep], cols[keep]]
+        want = ref[ref > 0].sum()
+
+        ml, ya, yb = _sparse_hungarian_max(ia, ib, w, nl, nr)
+        got = sum(dense[i, ml[i]] for i in range(nl) if ml[i] >= 0)
+        assert abs(got - want) < 1e-9, trial
+        # KKT: edge feasibility + matched tightness
+        assert all(
+            ya[i] + yb[j] >= ww - 1e-9 for i, j, ww in zip(ia, ib, w)
+        ), trial
+        assert all(
+            abs(ya[i] + yb[ml[i]] - dense[i, ml[i]]) < 1e-7
+            for i in range(nl)
+            if ml[i] >= 0
+        ), trial
+        # node conditions: y >= 0 everywhere, exactly 0 when unmatched
+        matched_r = {int(x) for x in ml if x >= 0}
+        assert (ya > -1e-9).all() and (yb > -1e-9).all(), trial
+        assert all(abs(ya[i]) < 1e-7 for i in range(nl) if ml[i] < 0), trial
+        assert all(abs(yb[j]) < 1e-7 for j in range(nr) if j not in matched_r), trial
+        # a matching: no right used twice
+        assert len(matched_r) == int((ml >= 0).sum()), trial
+
+
+def test_mwgm_exact_sparse_path_matches_dense(spark, monkeypatch):
+    """Forcing MWGM_DENSE_MAX to 0 routes every component through the
+    sparse kernel; matching and certificate must be identical to the dense
+    path (same optimum, all KKT counters zero, nothing uncertified)."""
+    from entity_matchers_spark.operators import matching
+
+    rows = [
+        ("a1", "b1", 1.0),
+        ("a1", "b2", 0.9),
+        ("a2", "b1", 0.9),
+        ("a3", "b3", 0.5),
+        ("a4", "b3", 0.4),
+        ("a5", "b5", 0.7),
+        ("a5", "b6", 0.65),
+        ("a6", "b5", 0.66),
+        ("a6", "b6", 0.1),
+    ]
+    scored = spark.createDataFrame(rows, ["id_a", "id_b", "score"])
+    dense = {(r.id_a, r.id_b) for r in matching.mwgm_exact(scored).collect()}
+    monkeypatch.setattr(matching, "MWGM_DENSE_MAX", 0)
+    sparse = {(r.id_a, r.id_b) for r in matching.mwgm_exact(scored).collect()}
+    assert sparse == dense == {
+        ("a1", "b2"), ("a2", "b1"), ("a3", "b3"), ("a5", "b6"), ("a6", "b5")
+    }
+    [c] = matching.mwgm_exact_certificate(scored).collect()
+    assert (
+        c.validity_viol, c.feas_viol, c.tight_viol, c.grid_viol,
+        c.uncertified_edges,
+    ) == (0, 0, 0, 0, 0)
+    assert c.n_edges == len(rows)
