@@ -152,6 +152,65 @@ def web_pages(spark: SparkSession, num_entities: int = 1000) -> DataFrame:
     return exploded.mapInPandas(_render_batch, PAGE_SCHEMA)
 
 
+DOC_SCHEMA = StructType(
+    [StructField("doc_id", LongType()), StructField("text", StringType())]
+)
+
+
+def synthetic_documents(
+    spark: SparkSession,
+    n_docs: int,
+    vocab_per_doc: float = 40.0,
+    tokens_lo: int = 40,
+    tokens_hi: int = 60,
+    dup_pct: int = 5,
+) -> DataFrame:
+    """Deterministic ``documents``-shaped corpus whose token VOCABULARY
+    grows proportionally with corpus size (``V = vocab_per_doc * n_docs``)
+    — the real-web regime, where new pages bring new names, slugs and
+    numbers, unlike the fixed-50-word testdata fixture.
+
+    Purpose: the growth audit's vocabulary-scaled row. On a fixed-vocab
+    corpus the background gram-overlap distribution never thins as the
+    corpus grows, so ANY rarity-based candidate filter shows a ~quadratic
+    candidate count with a small constant (the adversarial regime); with
+    vocabulary ∝ size, two random docs share ever fewer grams and the
+    prefix/banding filters go toward linear. Generating both rows makes
+    that argument a measurement instead of prose.
+
+    ~``dup_pct``% of docs are near-duplicates of a recent earlier doc
+    (one token dropped + one swapped), planting a linear true-pair mass.
+    Every token is a pure function of (doc_id, position, n_docs) via md5 —
+    partitioning- and wall-clock-independent, no external data.
+    """
+    vocab_size = max(100, int(vocab_per_doc * n_docs))
+
+    def _render(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def base_tokens(doc: int) -> list[str]:
+            n_tok = tokens_lo + _h(n_docs, doc, "n") % max(1, tokens_hi - tokens_lo + 1)
+            return [
+                f"w{_h(n_docs, doc, 't', k) % vocab_size:x}" for k in range(n_tok)
+            ]
+
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["id"]:
+                doc_id = int(doc_id)
+                if doc_id > 0 and _h(n_docs, doc_id, "dup") % 100 < dup_pct:
+                    src = doc_id - 1 - _h(n_docs, doc_id, "src") % min(doc_id, 50)
+                    toks = base_tokens(src)
+                    del toks[_h(n_docs, doc_id, "drop") % len(toks)]
+                    i = _h(n_docs, doc_id, "s1") % len(toks)
+                    j = _h(n_docs, doc_id, "s2") % len(toks)
+                    toks[i], toks[j] = toks[j], toks[i]
+                else:
+                    toks = base_tokens(doc_id)
+                rows.append({"doc_id": doc_id, "text": " ".join(toks)})
+            yield pd.DataFrame(rows, columns=["doc_id", "text"])
+
+    return spark.range(n_docs).mapInPandas(_render, DOC_SCHEMA)
+
+
 def labeled_pairs(spark: SparkSession, num_entities: int = 1000) -> DataFrame:
     """(id_a, id_b, label, fold, split) — positives = intra-entity page
     pairs; negatives = cross-entity first-variant pairs; 5 folds with the

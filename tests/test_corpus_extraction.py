@@ -66,3 +66,32 @@ def test_labeled_pairs_protocol(spark):
     pos = sum(1 for r in lp if r.label == 1)
     neg = sum(1 for r in lp if r.label == 0)
     assert pos > 0 and neg > 0
+
+
+def test_synthetic_documents_deterministic_and_vocab_scaled(spark):
+    """The vocab-scaled audit corpus must be partition-independent and
+    reproducible (pure hash of doc_id, position, n_docs), with vocabulary
+    actually growing with corpus size and a linear planted dup mass."""
+    from pyspark.sql import functions as F
+
+    from entity_matchers_spark.corpus import synthetic_documents
+
+    a = synthetic_documents(spark, 300).repartition(1).collect()
+    b = synthetic_documents(spark, 300).repartition(13).collect()
+    assert sorted((r.doc_id, r.text) for r in a) == sorted(
+        (r.doc_id, r.text) for r in b
+    )
+    assert len(a) == 300
+
+    def vocab(n):
+        return (
+            synthetic_documents(spark, n)
+            .select(F.explode(F.split("text", " ")).alias("t"))
+            .agg(F.countDistinct("t"))
+            .collect()[0][0]
+        )
+
+    v300, v900 = vocab(300), vocab(900)
+    # distinct tokens grow roughly with corpus size (doc draws cover most
+    # of the 40*n vocabulary)
+    assert v900 > 2.0 * v300
