@@ -210,14 +210,17 @@ def levenshtein_distance_udf():
 def levenshtein_ratio_fast(a: Column | str, b: Column | str) -> Column:
     """Value-identical to :func:`levenshtein_ratio` (the distance is the
     same exact integer; the ratio expression is unchanged), computed with
-    the batched Myers kernel instead of the JVM DP. Nulls pass through as
-    null, matching the builtin's null-in -> null-out (the kernel itself
-    maps None to "" for lane packing, so the guard is explicit here)."""
+    the batched Myers kernel instead of the JVM DP. Null handling matches
+    the builtin exactly, INCLUDING the (null, '') edge: ``greatest``
+    ignores nulls, so a null beside an empty string gives mx = 0 -> 1.0
+    (checked before the null guard, as the builtin's expression order
+    implies); any other null operand -> null (the kernel itself maps None
+    to "" for lane packing, so the guard is explicit here)."""
     ca = F.col(a) if isinstance(a, str) else a
     cb = F.col(b) if isinstance(b, str) else b
     mx = F.greatest(F.length(ca), F.length(cb))
-    return F.when(ca.isNull() | cb.isNull(), F.lit(None).cast("double")).otherwise(
-        F.when(mx == 0, F.lit(1.0)).otherwise(
+    return F.when(mx == 0, F.lit(1.0)).otherwise(
+        F.when(ca.isNull() | cb.isNull(), F.lit(None).cast("double")).otherwise(
             1.0 - levenshtein_distance_udf()(ca, cb) / mx.cast("double")
         )
     )

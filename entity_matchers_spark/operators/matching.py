@@ -183,8 +183,11 @@ def stable_marriage(
     Pass ``stats`` (a dict) to record loop telemetry: ``rounds`` taken,
     per-round ``proposals`` and remaining ``prefs_sizes`` — the monotone
     shrink + O(longest displacement chain) round count are pinned by an
-    adversarial-chain pytest. Costs one extra count per round; leave None
-    in production.
+    adversarial-chain pytest. Cost: the proposals count runs every round
+    regardless (it is the termination test), but ``prefs_sizes`` adds a
+    second count action per round that also forces the lazily-checkpointed
+    ``prefs`` table early — with stats enabled the per-round action count
+    roughly doubles; leave None in production.
     """
     wa = Window.partitionBy("id_a").orderBy(F.col(score_col).desc(), F.col("id_b").asc())
     wb = Window.partitionBy("id_b").orderBy(F.col(score_col).desc(), F.col("id_a").asc())

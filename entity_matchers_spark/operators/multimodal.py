@@ -100,6 +100,10 @@ def decode_image(payload: bytes) -> "np.ndarray":
             raise ValueError("truncated netpbm header")
         tokens.append(int(payload[start:pos]))
     w, h, maxval = tokens
+    if w <= 0 or h <= 0:
+        # spec-parseable but degenerate: a 0-pixel raster would divide by
+        # zero in every feature statistic downstream
+        raise ValueError(f"empty netpbm raster ({w}x{h})")
     if not (0 < maxval <= 255):
         raise NotImplementedError("netpbm maxval > 255 (two-byte samples) unsupported")
     pos += 1  # exactly one whitespace byte before the raster
@@ -232,6 +236,15 @@ def decode_audio(payload: bytes) -> tuple["np.ndarray", int]:
     while pos + 8 <= len(payload):
         cid = payload[pos : pos + 4]
         size = int.from_bytes(payload[pos + 4 : pos + 8], "little")
+        if pos + 8 + size > len(payload):
+            # a declared size overrunning the buffer would silently decode
+            # a truncated chunk into plausible-but-wrong statistics
+            # (Python slices don't bounds-error); mirror the truncation
+            # checks in decode_image/decode_y4m instead
+            raise ValueError(
+                f"WAVE chunk {cid!r} overruns payload: "
+                f"{pos + 8 + size} > {len(payload)}"
+            )
         body = payload[pos + 8 : pos + 8 + size]
         if cid == b"fmt ":
             fmt = body
@@ -256,6 +269,9 @@ def decode_audio(payload: bytes) -> tuple["np.ndarray", int]:
         samples = samples[: len(samples) - len(samples) % channels].reshape(
             -1, channels
         )
+    if samples.size == 0:
+        # empty data chunk: every amplitude statistic would divide by zero
+        raise ValueError("empty WAVE data chunk")
     return samples, rate
 
 

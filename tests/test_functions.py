@@ -144,7 +144,8 @@ def test_myers_levenshtein_equals_builtin(spark):
     from pyspark.sql import functions as F
 
     nulls = spark.createDataFrame(
-        [(None, "abc"), ("abc", None), (None, None), ("", ""), ("ab", "ba")],
+        [(None, "abc"), ("abc", None), (None, None), ("", ""), ("ab", "ba"),
+         (None, ""), ("", None)],  # greatest() ignores nulls: mx=0 -> 1.0
         "a string, b string",
     )
     got_f = [r.r for r in nulls.select(levenshtein_ratio_fast("a", "b").alias("r")).collect()]

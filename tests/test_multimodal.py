@@ -293,3 +293,32 @@ def test_extract_media_features_real_decode_spark(spark):
         assert rows[doc_id].n_bytes == len(payload)
         want = image_features(decode_image(payload))
         assert list(rows[doc_id].feature) == want
+
+
+def test_decode_degenerate_payloads_raise():
+    """Spec-parseable but degenerate payloads must fail loudly (ValueError)
+    instead of dividing by zero in the feature stage or silently decoding a
+    truncated chunk into plausible statistics."""
+    import pytest
+
+    from entity_matchers_spark.operators.multimodal import (
+        decode_audio,
+        decode_image,
+    )
+
+    # 0-pixel rasters
+    with pytest.raises(ValueError, match="empty netpbm raster"):
+        decode_image(b"P5\n0 4\n255\n")
+    with pytest.raises(ValueError, match="empty netpbm raster"):
+        decode_image(b"P6\n3 0\n255\n")
+    # empty data chunk
+    with pytest.raises(ValueError, match="empty WAVE data chunk"):
+        decode_audio(_wav(np.empty(0, dtype=np.uint8)))
+    # stereo data chunk shorter than one frame -> zero frames
+    with pytest.raises(ValueError, match="empty WAVE data chunk"):
+        decode_audio(_wav(np.zeros(1, dtype="<i2"), bits=16, channels=2))
+    # declared chunk size overruns the buffer: corrupt, not truncate-and-go
+    good = _wav(np.arange(16, dtype=np.uint8))
+    corrupt = good[:-4]  # data chunk now overruns
+    with pytest.raises(ValueError, match="overruns payload"):
+        decode_audio(corrupt)
