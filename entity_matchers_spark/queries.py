@@ -5712,13 +5712,67 @@ FROM agg
 
 
 QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
-    # Round-4 window (first 50 = the driver correctness gate's reach):
-    # (1) the 20 queries never driver-green in r1-r3, (2) everything whose
-    # implementation or oracle changed this round, (3) TPC-H variance watch,
-    # then oldest-verified refreshes. Union across CORRECTNESS_r{1..4} is
-    # the coverage criterion; rows below the window all hold a green from a
+    # Round-5 window (first 50 = the driver correctness gate's reach):
+    # (1) everything whose implementation or oracle changed in r5 (MWGM
+    # sparse-exact path + BIGINT-cast oracle, multi-prefix Jaccard/
+    # containment generators, levenshtein null-edge, media decode guards),
+    # (2) the r4 rewrites that shipped outside the r4 window
+    # (gopher_filter, stream_dedup, sessionize), (3) ER-chain consumers
+    # not driver-verified since the r4 Myers kernel swap, then (4) the
+    # oldest-verified refreshes. Union across CORRECTNESS_r{1..5} is the
+    # coverage criterion; rows below the window all hold a green from a
     # prior round for unchanged code.
 
+    "er_mwgm_exact": (q_er_mwgm_exact, Q_ER_MWGM_EXACT_SQL),
+    "neardup_jaccard": (q_neardup_jaccard, Q_NEARDUP_JACCARD_SQL),
+    "containment_neardup": (q_containment_neardup, Q_CONTAINMENT_SQL),
+    "er_pair_scores": (q_er_pair_scores, Q_ER_PAIR_SCORES_SQL),
+    "jaccard_cascade_blocking": (q_jaccard_cascade_blocking, Q_JACCARD_CASCADE_SQL),
+    "multimodal_decode": (q_multimodal_decode, Q_MULTIMODAL_DECODE_SQL),
+    "audio_decode": (q_audio_decode, Q_AUDIO_DECODE_SQL),
+    "frame_decode": (q_frame_decode, Q_FRAME_DECODE_SQL),
+    "multimodal_features": (q_multimodal_features, Q_MULTIMODAL_SQL),
+    "er_stable_marriage": (q_er_stable_marriage, Q_ER_STABLE_MARRIAGE_SQL),
+    "gopher_filter": (q_gopher_filter, Q_GOPHER_FILTER_SQL),
+    "stream_dedup": (q_stream_dedup, Q_STREAM_DEDUP_SQL),
+    "sessionize": (q_sessionize, Q_SESSIONIZE_SQL),
+    "er_mwgm_greedy": (q_er_mwgm_greedy, Q_ER_MWGM_SQL),
+    "er_bootstrap": (q_er_bootstrap, Q_ER_BOOTSTRAP_SQL),
+    "er_mutual_best": (q_er_mutual_best, Q_ER_MUTUAL_BEST_SQL),
+    "er_greedy_alignment": (q_er_greedy_alignment, Q_ER_GREEDY_SQL),
+    "er_threshold_topk": (q_er_threshold_topk, Q_ER_THRESHOLD_TOPK_SQL),
+    "er_hits_at_k": (q_er_hits_at_k, Q_ER_HITS_SQL),
+    "er_csls": (q_er_csls, Q_ER_CSLS_SQL),
+    "er_hard_negatives": (q_er_hard_negatives, Q_ER_HARD_NEGATIVES_SQL),
+    "er_clusters": (q_er_clusters, Q_ER_CLUSTERS_SQL),
+    "er_eval_prf1": (q_er_eval_prf1, Q_ER_EVAL_SQL),
+    "predicate_alignment": (q_predicate_alignment, Q_PREDICATE_ALIGN_SQL),
+    "imuse_attr_overlap": (q_imuse_attr_overlap, Q_IMUSE_SQL),
+    "links_fixpoint": (q_links_fixpoint, Q_LINKS_FIXPOINT_SQL),
+    "stream_windowed_counts": (q_stream_windowed_counts, Q_STREAM_WINDOWED_SQL),
+    "sessionize_stateful": (q_sessionize_stateful, Q_SESSIONIZE_SQL),
+    "name_removal": (q_name_removal, Q_NAME_REMOVAL_SQL),
+    "sample_validity": (q_sample_validity, Q_SAMPLE_VALIDITY_SQL),
+    "weighted_sample": (q_weighted_sample, Q_WEIGHTED_SAMPLE_SQL),
+    "cm_heavy_hitters": (q_cm_heavy_hitters, _build_cm_hh_sql()),
+    "cluster_split": (q_cluster_split, _build_cluster_split_sql()),
+    "blocking_rule_audit": (q_blocking_rule_audit, Q_BLOCKING_RULE_AUDIT_SQL),
+    "er_bcubed": (q_er_bcubed, Q_ER_BCUBED_SQL),
+    "stream_attribution": (q_stream_attribution, Q_STREAM_ATTRIBUTION_SQL),
+    "corpus_percentiles": (q_corpus_percentiles, Q_CORPUS_PERCENTILES_SQL),
+    "zorder_layout": (q_zorder_layout, _build_zorder_sql()),
+    "bloom_decontaminate": (q_bloom_decontaminate, _build_bloom_decon_sql()),
+    "snm_blocking": (q_snm_blocking, Q_SNM_BLOCKING_SQL),
+    "phonetic_blocking": (q_phonetic_blocking, Q_PHONETIC_BLOCKING_SQL),
+    "meta_blocking": (q_meta_blocking, Q_META_BLOCKING_SQL),
+    "fellegi_sunter": (q_fellegi_sunter, Q_FELLEGI_SUNTER_SQL),
+    "stream_enrich": (q_stream_enrich, Q_STREAM_ENRICH_SQL),
+    "blocking_quality": (q_blocking_quality, Q_BLOCKING_QUALITY_SQL),
+    "golden_records": (q_golden_records, Q_GOLDEN_RECORDS_SQL),
+    "temperature_mix": (q_temperature_mix, Q_TEMPERATURE_MIX_SQL),
+    "ccnet_buckets": (q_ccnet_buckets, Q_CCNET_BUCKETS_SQL),
+    "bm25_topk": (q_bm25_topk, Q_BM25_TOPK_SQL),
+    "bpe_merges": (q_bpe_merges, Q_BPE_MERGES_SQL),
     "hits": (q_hits, Q_HITS_SQL),
     "kn_counts": (q_kn_counts, Q_KN_COUNTS_SQL),
     "tfidf_cosine": (q_tfidf_cosine, Q_TFIDF_COSINE_SQL),
@@ -5738,21 +5792,16 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "blocking_audit": (q_blocking_audit, Q_BLOCKING_AUDIT_SQL),
     "er_kernel_features": (q_er_kernel_features, Q_ER_KERNEL_SQL),
     "corpus_rollup": (q_corpus_rollup, Q_CORPUS_ROLLUP_SQL),
-    "er_mwgm_exact": (q_er_mwgm_exact, Q_ER_MWGM_EXACT_SQL),
-    "containment_neardup": (q_containment_neardup, Q_CONTAINMENT_SQL),
     "incremental_neardup": (q_incremental_neardup, Q_INCREMENTAL_NEARDUP_SQL),
     "neardup_minhash": (q_neardup_minhash, Q_NEARDUP_MINHASH_SQL),
     "neardup_resolve": (q_neardup_resolve, Q_NEARDUP_RESOLVE_SQL),
-    "neardup_jaccard": (q_neardup_jaccard, Q_NEARDUP_JACCARD_SQL),
     "fellegi_sunter_em": (q_fellegi_sunter_em, _build_fs_em_sql()),
-    "sessionize_stateful": (q_sessionize_stateful, Q_SESSIONIZE_SQL),
     "ann_ivf_topk": (q_ann_ivf_topk, Q_ANN_IVF_SQL),
     "neardup_embedding": (q_neardup_embedding, Q_NEARDUP_EMBEDDING_SQL),
     "semdedup": (q_semdedup, Q_SEMDEDUP_SQL),
     "pricing_summary": (q_pricing_summary, Q_PRICING_SQL),
     "top_revenue_orders": (q_top_revenue_orders, Q_TOP_REVENUE_SQL),
     "events_hourly": (q_events_hourly, Q_EVENTS_HOURLY_SQL),
-    "multimodal_features": (q_multimodal_features, Q_MULTIMODAL_SQL),
     "pagerank": (q_pagerank, Q_PAGERANK_SQL),
     "topk_jaccard_blocking": (q_topk_jaccard_blocking, Q_TOPK_JACCARD_SQL),
     "er_pairs_salted": (q_er_pairs_salted, Q_ER_PAIRS_SALTED_SQL),
@@ -5766,35 +5815,6 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "er_kfold_eval": (q_er_kfold_eval, Q_ER_KFOLD_SQL),
     "monge_elkan": (q_monge_elkan, Q_MONGE_ELKAN_SQL),
     "length_threshold_tables": (q_length_threshold_tables, Q_LENGTH_THRESHOLD_SQL),
-    "multimodal_decode": (q_multimodal_decode, Q_MULTIMODAL_DECODE_SQL),
-    "audio_decode": (q_audio_decode, Q_AUDIO_DECODE_SQL),
-    "frame_decode": (q_frame_decode, Q_FRAME_DECODE_SQL),
-    # -- below the window: driver-green in a prior round, code unchanged
-    "name_removal": (q_name_removal, Q_NAME_REMOVAL_SQL),
-    "sample_validity": (q_sample_validity, Q_SAMPLE_VALIDITY_SQL),
-    "er_stable_marriage": (q_er_stable_marriage, Q_ER_STABLE_MARRIAGE_SQL),
-    "er_pair_scores": (q_er_pair_scores, Q_ER_PAIR_SCORES_SQL),
-    "weighted_sample": (q_weighted_sample, Q_WEIGHTED_SAMPLE_SQL),
-    "cm_heavy_hitters": (q_cm_heavy_hitters, _build_cm_hh_sql()),
-    "cluster_split": (q_cluster_split, _build_cluster_split_sql()),
-    "blocking_rule_audit": (q_blocking_rule_audit, Q_BLOCKING_RULE_AUDIT_SQL),
-    "er_bcubed": (q_er_bcubed, Q_ER_BCUBED_SQL),
-    "stream_attribution": (q_stream_attribution, Q_STREAM_ATTRIBUTION_SQL),
-    "corpus_percentiles": (q_corpus_percentiles, Q_CORPUS_PERCENTILES_SQL),
-    "zorder_layout": (q_zorder_layout, _build_zorder_sql()),
-    "bloom_decontaminate": (q_bloom_decontaminate, _build_bloom_decon_sql()),
-    "snm_blocking": (q_snm_blocking, Q_SNM_BLOCKING_SQL),
-    "phonetic_blocking": (q_phonetic_blocking, Q_PHONETIC_BLOCKING_SQL),
-    "meta_blocking": (q_meta_blocking, Q_META_BLOCKING_SQL),
-    "fellegi_sunter": (q_fellegi_sunter, Q_FELLEGI_SUNTER_SQL),
-    "stream_enrich": (q_stream_enrich, Q_STREAM_ENRICH_SQL),
-    "blocking_quality": (q_blocking_quality, Q_BLOCKING_QUALITY_SQL),
-    "golden_records": (q_golden_records, Q_GOLDEN_RECORDS_SQL),
-    "gopher_filter": (q_gopher_filter, Q_GOPHER_FILTER_SQL),
-    "temperature_mix": (q_temperature_mix, Q_TEMPERATURE_MIX_SQL),
-    "ccnet_buckets": (q_ccnet_buckets, Q_CCNET_BUCKETS_SQL),
-    "bm25_topk": (q_bm25_topk, Q_BM25_TOPK_SQL),
-    "bpe_merges": (q_bpe_merges, Q_BPE_MERGES_SQL),
     "nb_quality": (q_nb_quality, Q_NB_QUALITY_SQL),
     "pack_sequences": (q_pack_sequences, Q_PACK_SEQUENCES_SQL),
     "global_shuffle": (q_global_shuffle, Q_GLOBAL_SHUFFLE_SQL),
@@ -5805,19 +5825,13 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "frame_sample": (q_frame_sample, Q_FRAME_SAMPLE_SQL),
     "degree_guided_sample": (q_degree_guided_sample, Q_DEGREE_SAMPLE_SQL),
     "degree_dd_deletion": (q_degree_dd_deletion, Q_DEGREE_DD_SQL),
-    "jaccard_cascade_blocking": (q_jaccard_cascade_blocking, Q_JACCARD_CASCADE_SQL),
-    "stream_dedup": (q_stream_dedup, Q_STREAM_DEDUP_SQL),
     "embedding_roundtrip": (q_embedding_roundtrip, Q_EMBEDDING_ROUNDTRIP_SQL),
-    "er_hard_negatives": (q_er_hard_negatives, Q_ER_HARD_NEGATIVES_SQL),
     "er_block_keys_2gram": (q_er_block_keys_2gram, Q_ER_BLOCK_KEYS_2GRAM_SQL),
     "segment_dedup": (q_segment_dedup, Q_SEGMENT_DEDUP_SQL),
     "decontaminate": (q_decontaminate, Q_DECONTAMINATE_SQL),
     "ann_cosine_topk": (q_ann_cosine_topk, Q_ANN_COSINE_SQL),
     "er_block_keys": (q_er_block_keys, Q_ER_BLOCK_KEYS_SQL),
     "er_candidate_pairs": (q_er_candidate_pairs, Q_ER_CANDIDATE_PAIRS_SQL),
-    "er_mutual_best": (q_er_mutual_best, Q_ER_MUTUAL_BEST_SQL),
-    "er_clusters": (q_er_clusters, Q_ER_CLUSTERS_SQL),
-    "er_eval_prf1": (q_er_eval_prf1, Q_ER_EVAL_SQL),
     "dedup_exact": (q_dedup_exact, Q_DEDUP_EXACT_SQL),
     "simhash_signatures": (q_simhash_signatures, Q_SIMHASH_SQL),
     "simhash_neardup": (q_simhash_neardup, Q_SIMHASH_NEARDUP_SQL),
@@ -5825,23 +5839,12 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "lang_scores": (q_lang_scores, _build_lang_sql()),
     "quality_features": (q_quality_features, Q_QUALITY_SQL),
     "token_counts": (q_token_counts, Q_TOKEN_COUNTS_SQL),
-    "links_fixpoint": (q_links_fixpoint, Q_LINKS_FIXPOINT_SQL),
-    "imuse_attr_overlap": (q_imuse_attr_overlap, Q_IMUSE_SQL),
-    "stream_windowed_counts": (q_stream_windowed_counts, Q_STREAM_WINDOWED_SQL),
-    "sessionize": (q_sessionize, Q_SESSIONIZE_SQL),
-    "er_bootstrap": (q_er_bootstrap, Q_ER_BOOTSTRAP_SQL),
-    "er_mwgm_greedy": (q_er_mwgm_greedy, Q_ER_MWGM_SQL),
-    "predicate_alignment": (q_predicate_alignment, Q_PREDICATE_ALIGN_SQL),
     "triples_parse_stats": (q_triples_parse_stats, Q_TRIPLES_PARSE_SQL),
     "triples_remove_unlinked": (q_triples_remove_unlinked, Q_TRIPLES_REMOVE_UNLINKED_SQL),
     "literal_clean": (q_literal_clean, Q_LITERAL_CLEAN_SQL),
     "name_selection": (q_name_selection, Q_NAME_SELECTION_SQL),
     "triples_anonymize": (q_triples_anonymize, Q_TRIPLES_ANONYMIZE_SQL),
     "uri_local_names": (q_uri_local_names, Q_URI_LOCAL_NAMES_SQL),
-    "er_greedy_alignment": (q_er_greedy_alignment, Q_ER_GREEDY_SQL),
-    "er_threshold_topk": (q_er_threshold_topk, Q_ER_THRESHOLD_TOPK_SQL),
-    "er_hits_at_k": (q_er_hits_at_k, Q_ER_HITS_SQL),
-    "er_csls": (q_er_csls, Q_ER_CSLS_SQL),
     "customers_without_orders": (q_customers_without_orders, Q_CUST_NO_ORDERS_SQL),
     "top_orders_per_customer": (q_top_orders_per_customer, Q_TOP_ORDERS_PER_CUST_SQL),
 }
