@@ -717,3 +717,56 @@ def test_mwgm_exact_sparse_path_matches_dense(spark, monkeypatch):
         c.uncertified_edges,
     ) == (0, 0, 0, 0, 0)
     assert c.n_edges == len(rows)
+
+
+def test_sparse_hungarian_adversarial_shapes():
+    """Shapes the random fuzz is unlikely to hit: tie-heavy quantized
+    weights (optimal WEIGHT must still match the dense solver even when
+    the matching itself is non-unique), a displacement chain forcing a
+    full-length augmenting path per phase, and isolated/near-isolated
+    nodes. Dual feasibility must hold throughout."""
+    import numpy as np
+
+    from entity_matchers_spark.operators.matching import (
+        _hungarian_max,
+        _sparse_hungarian_max,
+    )
+
+    rng = np.random.RandomState(23)
+    for trial in range(60):
+        nl, nr = rng.randint(1, 12), rng.randint(1, 12)
+        dense = (rng.randint(0, 4, size=(nl, nr)) * 0.25) * (
+            rng.rand(nl, nr) > 0.5
+        )
+        ia, ib = np.nonzero(dense)
+        if ia.size == 0:
+            continue
+        w = dense[ia, ib]
+        rows, cols, _, _ = _hungarian_max(dense)
+        keep = (rows < nl) & (cols < nr)
+        ref = dense[rows[keep], cols[keep]]
+        want = ref[ref > 0].sum()
+        ml, ya, yb = _sparse_hungarian_max(ia, ib, w, nl, nr)
+        got = sum(dense[i, ml[i]] for i in range(nl) if ml[i] >= 0)
+        assert abs(got - want) < 1e-9, trial
+        mr = [m for m in ml if m >= 0]
+        assert len(set(mr)) == len(mr), trial
+        assert all(
+            ya[i] + yb[j] >= ww - 1e-9 for i, j, ww in zip(ia, ib, w)
+        ), trial
+
+    # displacement chain: a_i prefers b_{i-1} (2.0) over its own slot
+    # (1 - i*1e-6); optimum is the all-shift matching 2*(L-1) with a_0
+    # unmatched — each phase augments along the full chain
+    L = 500
+    ia, ib, w = [], [], []
+    for i in range(L):
+        ia.append(i), ib.append(i), w.append(1.0 - 1e-6 * i)
+        if i > 0:
+            ia.append(i), ib.append(i - 1), w.append(2.0)
+    ia, ib, w = np.array(ia), np.array(ib), np.array(w, dtype=float)
+    ml, ya, yb = _sparse_hungarian_max(ia, ib, w, L, L)
+    lut = {(i, j): x for i, j, x in zip(ia, ib, w)}
+    got = sum(lut[(i, ml[i])] for i in range(L) if ml[i] >= 0)
+    assert abs(got - 2.0 * (L - 1)) < 1e-6
+    assert all(ya[i] + yb[j] >= x - 1e-7 for i, j, x in zip(ia, ib, w))
