@@ -186,8 +186,12 @@ def prefix_filtered_jaccard_pairs(
         .join(prefix.alias("r"), "g")
         .where(
             (F.col("l.id") < F.col("r.id"))
-            & (F.col("l.sz") * threshold <= F.col("r.sz"))
-            & (F.col("r.sz") * threshold <= F.col("l.sz"))
+            # same epsilon guard as the prefix bound: t*sz can round UP past
+            # an exactly-integral product (observed 0.8*5 = 4.0000000000000004)
+            # and silently drop a pair whose Jaccard equals t exactly;
+            # loosening only ever ADDS candidates — verify stays exact
+            & (F.col("l.sz") * threshold <= F.col("r.sz") + F.lit(1e-9))
+            & (F.col("r.sz") * threshold <= F.col("l.sz") + F.lit(1e-9))
         )
         .groupBy(
             F.col("l.id").alias("id_a"),

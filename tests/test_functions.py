@@ -669,3 +669,22 @@ def test_temperature_mix_targets_partition_budget(spark):
     out = temperature_mix(df, budget=35).collect()
     # 7 equal sources -> equal targets of 5 each, exactly 35 expected copies
     assert sum(r["copies"] for r in out) <= 35 + 7  # frac extras bounded by 1/src
+
+
+def test_prefix_jaccard_exact_threshold_boundary(spark):
+    """A pair whose Jaccard equals the threshold EXACTLY with t*|d|
+    integral must be returned: both the prefix length and the length
+    filter carry epsilon guards because t*sz can round up past an
+    exactly-integral product and silently drop the boundary pair.
+    grams('abcdefghijkl') = 10 distinct 3-grams, grams('abcdefghi') = 7,
+    a strict subset -> J = 7/10 = 0.7 at threshold 0.7."""
+    from entity_matchers_spark.operators.dedup import prefix_filtered_jaccard_pairs
+
+    docs = spark.createDataFrame(
+        [(1, "abcdefghijkl"), (2, "abcdefghi")], "doc_id long, text string"
+    )
+    got = {
+        (r.id_a, r.id_b, round(r.jaccard, 9))
+        for r in prefix_filtered_jaccard_pairs(docs, n=3, threshold=0.7).collect()
+    }
+    assert got == {(1, 2, 0.7)}
